@@ -1,0 +1,479 @@
+"""WavLM in functional JAX, redesigned for TPU execution.
+
+Behavior parity target (verified by golden tests vs HF torch): the model the
+reference calls at ``WavLM_embeddings.py:303-307`` with
+``output_hidden_states=True`` — HF ``modeling_wavlm.py``:
+
+- conv feature encoder, 7 Conv1d stages (dims 512, strides 5,2,2,2,2,2,2,
+  kernels 10,3,3,3,3,2,2 -> 49 Hz frames), group-norm-first ("group") or
+  layer-norm-per-conv ("layer") variants (``modeling_wavlm.py:682-789``)
+- feature projection LN -> Linear(512 -> H) (``:93-105``)
+- convolutional positional embedding k=128, 16 groups, weight-normed, SamePad
+  (``:37-91``)
+- gated relative-position-bias attention: T5-style log-bucket bias
+  (num_buckets=320, max_distance=800, ``:243-271``) embedded only in layer 0
+  and threaded through all layers (``:384,410-430``); GRU-style per-token gate
+  ``gate_a * (gate_b * const - 1) + 2`` from an 8-dim head projection summed
+  2x4 (``:165-180``)
+- post-LN encoder layer (``:298-336``) vs pre-LN "stable" layer (``:339-373``,
+  wavlm-large) selected by ``do_stable_layer_norm``
+
+TPU-first design decisions (not a port):
+- pure functions over a param pytree; per-layer params are STACKED along a
+  leading axis and the encoder runs as one ``lax.scan`` — one compiled layer
+  body instead of 24 unrolled blocks, with hidden states collected as scan
+  outputs (the reference materializes a 25-tuple of torch tensors)
+- the relative-position bucket matrix is a compile-time numpy constant per
+  sequence length; the [H, L, L] bias is computed once per forward and
+  broadcast, mirroring HF's layer-0-then-thread structure but without any
+  cross-layer Python state
+- everything is static-shaped and mask-driven so variable-length clips batch
+  into padded length buckets without retraces
+- matmul precision and activation dtype are explicit knobs: fidelity preset
+  (f32 + HIGHEST) holds the <=1e-3 cosine bar; fast preset (bf16 activations,
+  f32 accumulation/LN/softmax) feeds the MXU at full rate for the benchmark
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class WavLMConfig:
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    conv_dim: tuple[int, ...] = (512, 512, 512, 512, 512, 512, 512)
+    conv_stride: tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    conv_kernel: tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    conv_bias: bool = False
+    feat_extract_norm: str = "group"  # "group" (base) | "layer" (large)
+    do_stable_layer_norm: bool = False
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    num_buckets: int = 320
+    max_bucket_distance: int = 800
+    layer_norm_eps: float = 1e-5
+    # frontend policy (HF preprocessor_config.json per checkpoint)
+    do_normalize: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @staticmethod
+    def base() -> "WavLMConfig":
+        return WavLMConfig()
+
+    @staticmethod
+    def base_plus() -> "WavLMConfig":
+        return WavLMConfig()
+
+    @staticmethod
+    def large() -> "WavLMConfig":
+        return WavLMConfig(
+            hidden_size=1024,
+            num_hidden_layers=24,
+            num_attention_heads=16,
+            intermediate_size=4096,
+            conv_bias=True,
+            feat_extract_norm="layer",
+            do_stable_layer_norm=True,
+            do_normalize=True,
+        )
+
+    @staticmethod
+    def tiny(hidden_size: int = 32, layers: int = 2, heads: int = 4) -> "WavLMConfig":
+        """Small config for fast numerics tests (same code paths as base)."""
+        return WavLMConfig(
+            hidden_size=hidden_size,
+            num_hidden_layers=layers,
+            num_attention_heads=heads,
+            intermediate_size=hidden_size * 4,
+            conv_dim=(16, 16, 16),
+            conv_stride=(5, 2, 2),
+            conv_kernel=(10, 3, 3),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Relative position bucket bias (HF modeling_wavlm.py:243-271)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def relative_position_buckets(seq_len: int, num_buckets: int, max_distance: int) -> np.ndarray:
+    """[L, L] int32 bucket index matrix (compile-time constant per length)."""
+    context = np.arange(seq_len, dtype=np.int64)[:, None]
+    memory = np.arange(seq_len, dtype=np.int64)[None, :]
+    rel = memory - context
+
+    nb = num_buckets // 2
+    buckets = (rel > 0).astype(np.int64) * nb
+    rel_abs = np.abs(rel)
+    max_exact = nb // 2
+    is_small = rel_abs < max_exact
+    with np.errstate(divide="ignore"):
+        rel_large = np.log(np.maximum(rel_abs, 1).astype(np.float32) / max_exact)
+    rel_large = rel_large / math.log(max_distance / max_exact) * (nb - max_exact)
+    rel_large = (max_exact + rel_large).astype(np.int64)
+    rel_large = np.minimum(rel_large, nb - 1)
+    buckets += np.where(is_small, rel_abs, rel_large)
+    return buckets.astype(np.int32)
+
+
+def compute_position_bias(rel_attn_embed: jax.Array, seq_len: int, cfg: WavLMConfig) -> jax.Array:
+    """[num_buckets, H] embedding table -> [H, L, L] bias."""
+    buckets = jnp.asarray(
+        relative_position_buckets(seq_len, cfg.num_buckets, cfg.max_bucket_distance)
+    )
+    values = rel_attn_embed[buckets]  # [L, L, H]
+    return jnp.transpose(values, (2, 0, 1))
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def layer_norm(x: jax.Array, p: Params, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    return out.astype(x.dtype)
+
+
+def _gelu(x: jax.Array) -> jax.Array:
+    # torch nn.GELU default: exact erf formulation
+    return jax.nn.gelu(x, approximate=False)
+
+
+def conv_feature_encoder(
+    params: Params, waveform: jax.Array, cfg: WavLMConfig, precision
+) -> jax.Array:
+    """Raw wave [B, T] -> frames [B, L, conv_dim[-1]] at ~49 Hz.
+
+    HF ``WavLMFeatureEncoder`` (modeling_wavlm.py:754-789): first layer
+    group-norm (base) or every layer LN (large), erf-GELU activations.
+    """
+    x = waveform[:, None, :].astype(jnp.float32)  # NCH
+    for i, layer in enumerate(params["conv_layers"]):
+        x = jax.lax.conv_general_dilated(
+            x,
+            layer["w"],  # [out, in, k] torch OIH layout
+            window_strides=(cfg.conv_stride[i],),
+            padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=precision,
+        )
+        if layer.get("b") is not None:
+            x = x + layer["b"][None, :, None]
+        if cfg.feat_extract_norm == "group" and i == 0:
+            # GroupNorm(groups=channels) == per-channel instance norm over time
+            mean = jnp.mean(x, axis=-1, keepdims=True)
+            var = jnp.var(x, axis=-1, keepdims=True)
+            x = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+            x = x * layer["norm"]["scale"][None, :, None] + layer["norm"]["bias"][None, :, None]
+        elif cfg.feat_extract_norm == "layer":
+            xt = jnp.swapaxes(x, 1, 2)
+            xt = layer_norm(xt, layer["norm"], 1e-5)
+            x = jnp.swapaxes(xt, 1, 2)
+        x = _gelu(x)
+    return jnp.swapaxes(x, 1, 2)  # [B, L, C]
+
+
+def wavlm_feature_lengths(cfg: WavLMConfig, input_lengths) -> Any:
+    """Conv output length chain (HF _get_feat_extract_output_lengths)."""
+    lengths = input_lengths
+    for k, s in zip(cfg.conv_kernel, cfg.conv_stride):
+        lengths = (lengths - k) // s + 1
+    return lengths
+
+
+def pos_conv_embedding(params: Params, x: jax.Array, cfg: WavLMConfig, precision) -> jax.Array:
+    """Grouped conv positional embedding with SamePad (modeling_wavlm.py:37-91).
+
+    The weight-norm parameterization is folded into a plain conv weight at
+    conversion time (inference/fine-tune use the effective weight directly).
+    """
+    k = cfg.num_conv_pos_embeddings
+    xc = jnp.swapaxes(x, 1, 2)  # [B, C, L]
+    y = jax.lax.conv_general_dilated(
+        xc.astype(jnp.float32),
+        params["w"],  # [out, in/groups, k]
+        window_strides=(1,),
+        padding=[(k // 2, k // 2)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=cfg.num_conv_pos_embedding_groups,
+        precision=precision,
+    )
+    y = y + params["b"][None, :, None]
+    if k % 2 == 0:  # SamePad removes the trailing element
+        y = y[:, :, :-1]
+    y = _gelu(y)
+    return jnp.swapaxes(y, 1, 2).astype(x.dtype)
+
+
+def gated_relpos_attention(
+    layer: Params,
+    x: jax.Array,
+    position_bias: jax.Array,
+    key_mask_bias: jax.Array | None,
+    cfg: WavLMConfig,
+    precision,
+) -> jax.Array:
+    """One gated relative-position-bias MHA (modeling_wavlm.py:110-241).
+
+    x: [B, L, D]; position_bias: [H, L, L]; key_mask_bias: [B, 1, 1, L] or None.
+    """
+    B, L, D = x.shape
+    H, hd = cfg.num_attention_heads, cfg.head_dim
+
+    def heads(t):
+        return t.reshape(B, L, H, hd).transpose(0, 2, 1, 3)  # [B, H, L, hd]
+
+    # GRU-style gate computed from the raw (pre-projection) head inputs.
+    g_in = heads(x)
+    proj = (
+        jnp.einsum("bhld,de->bhle", g_in, layer["gru_w"], precision=precision)
+        + layer["gru_b"]
+    )
+    proj = proj.reshape(B, H, L, 2, 4).sum(-1)
+    gates = jax.nn.sigmoid(proj.astype(jnp.float32))
+    gate_a, gate_b = gates[..., 0], gates[..., 1]  # [B, H, L]
+    const = layer["gru_const"].reshape(1, H, 1)
+    gate = gate_a * (gate_b * const - 1.0) + 2.0
+    gated_bias = gate[..., None] * position_bias[None].astype(jnp.float32)  # [B,H,L,L]
+
+    q = heads(jnp.einsum("bld,de->ble", x, layer["q_w"], precision=precision) + layer["q_b"])
+    k = heads(jnp.einsum("bld,de->ble", x, layer["k_w"], precision=precision) + layer["k_b"])
+    v = heads(jnp.einsum("bld,de->ble", x, layer["v_w"], precision=precision) + layer["v_b"])
+
+    scale = hd**-0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k, precision=precision)
+    logits = logits.astype(jnp.float32) + gated_bias
+    if key_mask_bias is not None:
+        logits = logits + key_mask_bias
+    attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, precision=precision)
+    out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+    return jnp.einsum("bld,de->ble", out, layer["o_w"], precision=precision) + layer["o_b"]
+
+
+def feed_forward(layer: Params, x: jax.Array, precision) -> jax.Array:
+    h = jnp.einsum("bld,df->blf", x, layer["ff_w1"], precision=precision) + layer["ff_b1"]
+    h = _gelu(h)
+    return jnp.einsum("blf,fd->bld", h, layer["ff_w2"], precision=precision) + layer["ff_b2"]
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def _encoder_layer(
+    layer: Params,
+    x: jax.Array,
+    position_bias: jax.Array,
+    key_mask_bias,
+    cfg: WavLMConfig,
+    precision,
+) -> jax.Array:
+    eps = cfg.layer_norm_eps
+    if cfg.do_stable_layer_norm:  # pre-LN (modeling_wavlm.py:339-373)
+        attn_in = layer_norm(x, {"scale": layer["ln1_s"], "bias": layer["ln1_b"]}, eps)
+        x = x + gated_relpos_attention(layer, attn_in, position_bias, key_mask_bias, cfg, precision)
+        ff_in = layer_norm(x, {"scale": layer["ln2_s"], "bias": layer["ln2_b"]}, eps)
+        return x + feed_forward(layer, ff_in, precision)
+    # post-LN (modeling_wavlm.py:298-336)
+    x = x + gated_relpos_attention(layer, x, position_bias, key_mask_bias, cfg, precision)
+    x = layer_norm(x, {"scale": layer["ln1_s"], "bias": layer["ln1_b"]}, eps)
+    x = x + feed_forward(layer, x, precision)
+    return layer_norm(x, {"scale": layer["ln2_s"], "bias": layer["ln2_b"]}, eps)
+
+
+def wavlm_encoder(
+    params: Params,
+    hidden: jax.Array,
+    lengths: jax.Array | None,
+    cfg: WavLMConfig,
+    precision,
+) -> tuple[jax.Array, jax.Array]:
+    """Run the transformer stack via lax.scan over stacked layer params.
+
+    Returns (last_hidden [B, L, D], all_hidden [N+1, B, L, D]) where entry 0
+    is the post-(pos-conv + LN) input, matching HF's hidden_states tuple.
+    """
+    B, L, _ = hidden.shape
+    key_mask_bias = None
+    if lengths is not None:
+        frame_mask = jnp.arange(L)[None, :] < lengths[:, None]  # [B, L]
+        hidden = hidden * frame_mask[:, :, None].astype(hidden.dtype)
+        key_mask_bias = jnp.where(frame_mask, 0.0, -1e9).astype(jnp.float32)[:, None, None, :]
+
+    hidden = hidden + pos_conv_embedding(params["pos_conv"], hidden, cfg, precision)
+    if not cfg.do_stable_layer_norm:
+        hidden = layer_norm(hidden, params["ln"], cfg.layer_norm_eps)
+
+    position_bias = compute_position_bias(params["rel_attn_embed"], L, cfg)
+
+    def body(carry, layer):
+        out = _encoder_layer(layer, carry, position_bias, key_mask_bias, cfg, precision)
+        return out, out
+
+    last, states = jax.lax.scan(body, hidden, params["layers"])
+
+    if cfg.do_stable_layer_norm:
+        last = layer_norm(last, params["ln"], cfg.layer_norm_eps)
+        # HF collects pre-final-LN states for layers 0..N-1 and the final-LN
+        # output as the last entry (modeling_wavlm.py:489-516).
+        states = states.at[-1].set(last)
+    all_hidden = jnp.concatenate([hidden[None], states], axis=0)
+    return last, all_hidden
+
+
+# ---------------------------------------------------------------------------
+# Top-level forwards
+# ---------------------------------------------------------------------------
+
+
+def wavlm_forward(
+    params: Params,
+    waveform: jax.Array,
+    cfg: WavLMConfig,
+    sample_lengths: jax.Array | None = None,
+    precision=jax.lax.Precision.HIGHEST,
+    activation_dtype=jnp.float32,
+):
+    """Full WavLM forward with all hidden states (WavLMModel.forward parity).
+
+    waveform: [B, T] float32 (already frontend-normalized if the checkpoint
+    says so). sample_lengths: true sample counts for padded batches.
+
+    Returns (last_hidden, all_hidden [N+1, B, L, D], frame_lengths [B]).
+    """
+    feats = conv_feature_encoder(params["feature_encoder"], waveform, cfg, precision)
+    feats = layer_norm(feats, params["feature_projection"]["ln"], cfg.layer_norm_eps)
+    hidden = (
+        jnp.einsum(
+            "blc,cd->bld", feats, params["feature_projection"]["w"], precision=precision
+        )
+        + params["feature_projection"]["b"]
+    )
+    hidden = hidden.astype(activation_dtype)
+
+    frame_lengths = None
+    if sample_lengths is not None:
+        frame_lengths = wavlm_feature_lengths(cfg, sample_lengths)
+    last, all_hidden = wavlm_encoder(params["encoder"], hidden, frame_lengths, cfg, precision)
+    if frame_lengths is None:
+        frame_lengths = jnp.full((waveform.shape[0],), hidden.shape[1], dtype=jnp.int32)
+    return last, all_hidden, frame_lengths
+
+
+def wavlm_encode(
+    params: Params,
+    waveform: jax.Array,
+    cfg: WavLMConfig,
+    layer_indices: tuple[int, ...],
+    sample_lengths: jax.Array | None = None,
+    precision=jax.lax.Precision.HIGHEST,
+    activation_dtype=jnp.float32,
+) -> jax.Array:
+    """Mean-pooled embeddings for the selected hidden-state indices.
+
+    Reference selects [N-1, N-2, N-3, N//2] of the N+1 hidden states and
+    mean-pools over time (WavLM_embeddings.py:506,321). Returns
+    [num_selected, B, D] float32.
+    """
+    from stutter_tpu.ops.pooling import masked_mean_pool
+
+    _, all_hidden, frame_lengths = wavlm_forward(
+        params, waveform, cfg, sample_lengths, precision, activation_dtype
+    )
+    selected = all_hidden[jnp.asarray(layer_indices)]  # [S, B, L, D]
+    return jax.vmap(lambda h: masked_mean_pool(h, frame_lengths))(selected)
+
+
+# ---------------------------------------------------------------------------
+# Initialization (random, for tests / training-from-scratch)
+# ---------------------------------------------------------------------------
+
+
+def init_wavlm_params(rng: jax.Array, cfg: WavLMConfig, dtype=jnp.float32) -> Params:
+    keys = iter(jax.random.split(rng, 64))
+
+    def dense(k, fan_in, fan_out):
+        w = jax.random.normal(k, (fan_in, fan_out), dtype) * (fan_in**-0.5)
+        return w, jnp.zeros((fan_out,), dtype)
+
+    conv_layers = []
+    in_dim = 1
+    for i, out_dim in enumerate(cfg.conv_dim):
+        k = cfg.conv_kernel[i]
+        layer = {
+            "w": jax.random.normal(next(keys), (out_dim, in_dim, k), dtype)
+            * ((in_dim * k) ** -0.5),
+            "b": jnp.zeros((out_dim,), dtype) if cfg.conv_bias else None,
+        }
+        if (cfg.feat_extract_norm == "group" and i == 0) or cfg.feat_extract_norm == "layer":
+            layer["norm"] = {"scale": jnp.ones((out_dim,), dtype), "bias": jnp.zeros((out_dim,), dtype)}
+        conv_layers.append(layer)
+        in_dim = out_dim
+
+    D, H, F = cfg.hidden_size, cfg.num_attention_heads, cfg.intermediate_size
+    proj_w, proj_b = dense(next(keys), cfg.conv_dim[-1], D)
+
+    def one_layer(k):
+        ks = iter(jax.random.split(k, 16))
+        q_w, q_b = dense(next(ks), D, D)
+        k_w, k_b = dense(next(ks), D, D)
+        v_w, v_b = dense(next(ks), D, D)
+        o_w, o_b = dense(next(ks), D, D)
+        gru_w, gru_b = dense(next(ks), cfg.head_dim, 8)
+        ff_w1, ff_b1 = dense(next(ks), D, F)
+        ff_w2, ff_b2 = dense(next(ks), F, D)
+        return {
+            "q_w": q_w, "q_b": q_b, "k_w": k_w, "k_b": k_b,
+            "v_w": v_w, "v_b": v_b, "o_w": o_w, "o_b": o_b,
+            "gru_w": gru_w, "gru_b": gru_b, "gru_const": jnp.ones((H,), dtype),
+            "ff_w1": ff_w1, "ff_b1": ff_b1, "ff_w2": ff_w2, "ff_b2": ff_b2,
+            "ln1_s": jnp.ones((D,), dtype), "ln1_b": jnp.zeros((D,), dtype),
+            "ln2_s": jnp.ones((D,), dtype), "ln2_b": jnp.zeros((D,), dtype),
+        }
+
+    layer_keys = jax.random.split(next(keys), cfg.num_hidden_layers)
+    layers = jax.tree.map(lambda *xs: jnp.stack(xs), *[one_layer(k) for k in layer_keys])
+
+    pos_k = cfg.num_conv_pos_embeddings
+    pos_in = D // cfg.num_conv_pos_embedding_groups
+    return {
+        "feature_encoder": {"conv_layers": conv_layers},
+        "feature_projection": {
+            "ln": {"scale": jnp.ones((cfg.conv_dim[-1],), dtype), "bias": jnp.zeros((cfg.conv_dim[-1],), dtype)},
+            "w": proj_w,
+            "b": proj_b,
+        },
+        "encoder": {
+            "pos_conv": {
+                "w": jax.random.normal(next(keys), (D, pos_in, pos_k), dtype)
+                * ((pos_in * pos_k) ** -0.5),
+                "b": jnp.zeros((D,), dtype),
+            },
+            "ln": {"scale": jnp.ones((D,), dtype), "bias": jnp.zeros((D,), dtype)},
+            "rel_attn_embed": jax.random.normal(next(keys), (cfg.num_buckets, H), dtype) * 0.02,
+            "layers": layers,
+        },
+    }

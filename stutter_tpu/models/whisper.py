@@ -1,0 +1,299 @@
+"""Whisper encoder + single-step decoder in functional JAX.
+
+Behavior parity target (verified by golden tests vs HF torch): the exact
+surfaces the reference touches in ``whisper_embeddings_large.py:250-262`` —
+``model.encoder(input_features, output_hidden_states=True)`` and ONE decoder
+step with ``input_ids=zeros((1,1))`` (token id 0, an arbitrary start token,
+NOT the real SOT 50258 — a reference quirk we replicate deliberately).
+
+HF ``modeling_whisper.py`` specifics reproduced here:
+- encoder stem: Conv1d(80->D, k3, p1) + GELU, Conv1d(D->D, k3, s2, p1) + GELU
+  -> 1500 frames (``:608-609,679-682``)
+- non-learned sinusoidal source positions added to all 1500 positions
+  (``:54-66,574,683-685``); stored as a weight so converted checkpoints carry
+  whatever the checkpoint holds
+- pre-LN encoder/decoder layers with a final LN (``:372-432,722,948``)
+- attention scales q AFTER projection (scaling folded into q, not the
+  matmul — ``:311-316``); k_proj has no bias
+- decoder: learned positions, token embedding, self+cross attention
+  (``:435-544,856-940``)
+
+TPU-first: stacked layer params + ``lax.scan`` (32 layers compile as one
+body), static [B, 80, 3000] input contract, f32 softmax/LN with configurable
+matmul precision. The single-token decoder step is a tiny [B, 1, D] program
+whose cross-attention reads the [B, 1500, D] encoder state — no KV cache
+machinery is needed for this workload and none is pretended.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class WhisperConfig:
+    d_model: int = 1280
+    encoder_layers: int = 32
+    encoder_attention_heads: int = 20
+    decoder_layers: int = 32
+    decoder_attention_heads: int = 20
+    ffn_dim: int = 5120
+    num_mel_bins: int = 80
+    max_source_positions: int = 1500
+    max_target_positions: int = 448
+    vocab_size: int = 51865
+    layer_norm_eps: float = 1e-5
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.encoder_attention_heads
+
+    @staticmethod
+    def large() -> "WhisperConfig":
+        return WhisperConfig()
+
+    @staticmethod
+    def large_v2() -> "WhisperConfig":
+        return WhisperConfig()
+
+    @staticmethod
+    def base() -> "WhisperConfig":
+        return WhisperConfig(
+            d_model=512, encoder_layers=6, encoder_attention_heads=8,
+            decoder_layers=6, decoder_attention_heads=8, ffn_dim=2048,
+        )
+
+    @staticmethod
+    def tiny(d_model: int = 32, layers: int = 2, heads: int = 4) -> "WhisperConfig":
+        return WhisperConfig(
+            d_model=d_model, encoder_layers=layers, encoder_attention_heads=heads,
+            decoder_layers=layers, decoder_attention_heads=heads, ffn_dim=d_model * 4,
+            max_source_positions=1500, vocab_size=128,
+        )
+
+
+def sinusoids(length: int, channels: int) -> np.ndarray:
+    """Whisper's fixed sinusoidal positions (modeling_whisper.py:54-66)."""
+    assert channels % 2 == 0
+    log_timescale_increment = np.log(10000.0) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale_increment * np.arange(channels // 2))
+    scaled_time = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled_time), np.cos(scaled_time)], axis=1).astype(np.float32)
+
+
+def _layer_norm(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps) * scale + bias).astype(x.dtype)
+
+
+def _gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _attention(q_in, kv_in, p, prefix, num_heads, precision, causal=False):
+    """Whisper MHA: q scaled after projection, k_proj bias-free."""
+    B, Lq, D = q_in.shape
+    Lk = kv_in.shape[1]
+    hd = D // num_heads
+    scale = hd**-0.5
+
+    q = (jnp.einsum("bld,de->ble", q_in, p[f"{prefix}_q_w"], precision=precision)
+         + p[f"{prefix}_q_b"]) * scale
+    k = jnp.einsum("bld,de->ble", kv_in, p[f"{prefix}_k_w"], precision=precision)
+    v = (jnp.einsum("bld,de->ble", kv_in, p[f"{prefix}_v_w"], precision=precision)
+         + p[f"{prefix}_v_b"])
+
+    def heads(t, L):
+        return t.reshape(B, L, num_heads, hd).transpose(0, 2, 1, 3)
+
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", heads(q, Lq), heads(k, Lk), precision=precision
+    ).astype(jnp.float32)
+    if causal and Lq > 1:
+        mask = np.triu(np.full((Lq, Lk), -1e9, np.float32), k=1)
+        logits = logits + jnp.asarray(mask)[None, None]
+    attn = jax.nn.softmax(logits, axis=-1).astype(q_in.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, heads(v, Lk), precision=precision)
+    out = out.transpose(0, 2, 1, 3).reshape(B, Lq, D)
+    return jnp.einsum("bld,de->ble", out, p[f"{prefix}_o_w"], precision=precision) + p[f"{prefix}_o_b"]
+
+
+def _ffn(x, p, precision):
+    h = jnp.einsum("bld,df->blf", x, p["fc1_w"], precision=precision) + p["fc1_b"]
+    h = _gelu(h)
+    return jnp.einsum("blf,fd->bld", h, p["fc2_w"], precision=precision) + p["fc2_b"]
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def whisper_encoder_forward(
+    params: Params,
+    input_features: jax.Array,
+    cfg: WhisperConfig,
+    precision=jax.lax.Precision.HIGHEST,
+    activation_dtype=jnp.float32,
+):
+    """[B, 80, 3000] log-mel -> (last_hidden [B, 1500, D], all_hidden [N+1, ...]).
+
+    Input length is a hard contract (HF asserts 3000 mel frames,
+    modeling_whisper.py:668-672).
+    """
+    enc = params["encoder"]
+    x = input_features.astype(jnp.float32)
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv1_w"], window_strides=(1,), padding=[(1, 1)],
+        dimension_numbers=("NCH", "OIH", "NCH"), precision=precision,
+    ) + enc["conv1_b"][None, :, None]
+    x = _gelu(x)
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv2_w"], window_strides=(2,), padding=[(1, 1)],
+        dimension_numbers=("NCH", "OIH", "NCH"), precision=precision,
+    ) + enc["conv2_b"][None, :, None]
+    x = _gelu(x)
+    x = jnp.swapaxes(x, 1, 2)  # [B, 1500, D]
+    x = (x + enc["pos_embed"][None]).astype(activation_dtype)
+
+    eps = cfg.layer_norm_eps
+    nh = cfg.encoder_attention_heads
+
+    def body(carry, layer):
+        h = _layer_norm(carry, layer["ln1_s"], layer["ln1_b"], eps)
+        carry = carry + _attention(h, h, layer, "attn", nh, precision)
+        h = _layer_norm(carry, layer["ln2_s"], layer["ln2_b"], eps)
+        out = carry + _ffn(h, layer, precision)
+        return out, out
+
+    last, states = jax.lax.scan(body, x, enc["layers"])
+    last = _layer_norm(last, enc["ln_s"], enc["ln_b"], eps)
+    # HF hidden_states: embedding output + each layer's (pre-final-LN) output,
+    # with the final LN applied to the last entry (modeling_whisper.py:697-725).
+    states = states.at[-1].set(last)
+    all_hidden = jnp.concatenate([x[None], states], axis=0)
+    return last, all_hidden
+
+
+# ---------------------------------------------------------------------------
+# Decoder (single step — the only decoder surface the reference uses)
+# ---------------------------------------------------------------------------
+
+
+def whisper_decoder_step(
+    params: Params,
+    encoder_hidden: jax.Array,
+    token_id: int,
+    cfg: WhisperConfig,
+    precision=jax.lax.Precision.HIGHEST,
+    activation_dtype=jnp.float32,
+):
+    """One decoder forward for a single start token.
+
+    Replicates the reference's ``decoder(input_ids=zeros((1,1)))`` call
+    (whisper_embeddings_large.py:257-262): token embedding + learned
+    position 0, then self-attention over the single token and cross-attention
+    over the 1500 encoder frames. Returns (last_hidden [B, 1, D],
+    all_hidden [N+1, B, 1, D]).
+    """
+    dec = params["decoder"]
+    B = encoder_hidden.shape[0]
+    tok = dec["embed_tokens"][token_id][None, None, :]  # [1, 1, D]
+    pos = dec["pos_embed"][0][None, None, :]
+    x = jnp.broadcast_to(tok + pos, (B, 1, cfg.d_model)).astype(activation_dtype)
+    enc_h = encoder_hidden.astype(activation_dtype)
+
+    eps = cfg.layer_norm_eps
+    nh = cfg.decoder_attention_heads
+
+    def body(carry, layer):
+        h = _layer_norm(carry, layer["ln1_s"], layer["ln1_b"], eps)
+        carry = carry + _attention(h, h, layer, "attn", nh, precision, causal=True)
+        h = _layer_norm(carry, layer["ln2_s"], layer["ln2_b"], eps)
+        carry = carry + _attention(h, enc_h, layer, "xattn", nh, precision)
+        h = _layer_norm(carry, layer["ln3_s"], layer["ln3_b"], eps)
+        out = carry + _ffn(h, layer, precision)
+        return out, out
+
+    last, states = jax.lax.scan(body, x, dec["layers"])
+    last = _layer_norm(last, dec["ln_s"], dec["ln_b"], eps)
+    states = states.at[-1].set(last)
+    all_hidden = jnp.concatenate([x[None], states], axis=0)
+    return last, all_hidden
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def init_whisper_params(rng: jax.Array, cfg: WhisperConfig, dtype=jnp.float32) -> Params:
+    keys = iter(jax.random.split(rng, 32))
+    D, F = cfg.d_model, cfg.ffn_dim
+
+    def dense(k, fi, fo):
+        return jax.random.normal(k, (fi, fo), dtype) * (fi**-0.5), jnp.zeros((fo,), dtype)
+
+    def attn_params(k, prefix):
+        ks = iter(jax.random.split(k, 8))
+        q_w, q_b = dense(next(ks), D, D)
+        k_w, _ = dense(next(ks), D, D)
+        v_w, v_b = dense(next(ks), D, D)
+        o_w, o_b = dense(next(ks), D, D)
+        return {
+            f"{prefix}_q_w": q_w, f"{prefix}_q_b": q_b, f"{prefix}_k_w": k_w,
+            f"{prefix}_v_w": v_w, f"{prefix}_v_b": v_b,
+            f"{prefix}_o_w": o_w, f"{prefix}_o_b": o_b,
+        }
+
+    def ln(name):
+        return {f"{name}_s": jnp.ones((D,), dtype), f"{name}_b": jnp.zeros((D,), dtype)}
+
+    def enc_layer(k):
+        ks = iter(jax.random.split(k, 4))
+        fc1_w, fc1_b = dense(next(ks), D, F)
+        fc2_w, fc2_b = dense(next(ks), F, D)
+        return {**attn_params(next(ks), "attn"), **ln("ln1"), **ln("ln2"),
+                "fc1_w": fc1_w, "fc1_b": fc1_b, "fc2_w": fc2_w, "fc2_b": fc2_b}
+
+    def dec_layer(k):
+        ks = iter(jax.random.split(k, 5))
+        fc1_w, fc1_b = dense(next(ks), D, F)
+        fc2_w, fc2_b = dense(next(ks), F, D)
+        return {**attn_params(next(ks), "attn"), **attn_params(next(ks), "xattn"),
+                **ln("ln1"), **ln("ln2"), **ln("ln3"),
+                "fc1_w": fc1_w, "fc1_b": fc1_b, "fc2_w": fc2_w, "fc2_b": fc2_b}
+
+    enc_keys = jax.random.split(next(keys), cfg.encoder_layers)
+    dec_keys = jax.random.split(next(keys), cfg.decoder_layers)
+    enc_layers = jax.tree.map(lambda *xs: jnp.stack(xs), *[enc_layer(k) for k in enc_keys])
+    dec_layers = jax.tree.map(lambda *xs: jnp.stack(xs), *[dec_layer(k) for k in dec_keys])
+
+    return {
+        "encoder": {
+            "conv1_w": jax.random.normal(next(keys), (D, cfg.num_mel_bins, 3), dtype)
+            * ((cfg.num_mel_bins * 3) ** -0.5),
+            "conv1_b": jnp.zeros((D,), dtype),
+            "conv2_w": jax.random.normal(next(keys), (D, D, 3), dtype) * ((D * 3) ** -0.5),
+            "conv2_b": jnp.zeros((D,), dtype),
+            "pos_embed": jnp.asarray(sinusoids(cfg.max_source_positions, D), dtype),
+            "ln_s": jnp.ones((D,), dtype), "ln_b": jnp.zeros((D,), dtype),
+            "layers": enc_layers,
+        },
+        "decoder": {
+            "embed_tokens": jax.random.normal(next(keys), (cfg.vocab_size, D), dtype) * 0.02,
+            "pos_embed": jax.random.normal(next(keys), (cfg.max_target_positions, D), dtype) * 0.02,
+            "ln_s": jnp.ones((D,), dtype), "ln_b": jnp.zeros((D,), dtype),
+            "layers": dec_layers,
+        },
+    }

@@ -1,0 +1,32 @@
+"""Test harness config: run everything on a virtual 8-device CPU mesh.
+
+Standard JAX trick for hardware-free sharding tests (SURVEY.md §4):
+``xla_force_host_platform_device_count=8`` gives 8 fake CPU devices so all
+mesh/collective code paths compile and execute exactly as on a v5e-8 slice.
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+def cosine_distance(a, b):
+    a = np.asarray(a, dtype=np.float64).ravel()
+    b = np.asarray(b, dtype=np.float64).ravel()
+    denom = np.linalg.norm(a) * np.linalg.norm(b)
+    if denom == 0:
+        return 0.0 if np.allclose(a, b) else 1.0
+    return float(1.0 - np.dot(a, b) / denom)
