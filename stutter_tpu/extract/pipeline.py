@@ -1,0 +1,246 @@
+"""Batched, resumable embedding extraction on the TPU mesh.
+
+Replaces the reference's extraction drivers (``WavLM_embeddings.py:436-658``,
+``whisper_embeddings_large.py:397-601``) with a TPU-first design:
+
+reference                               this pipeline
+---------------------------------      ----------------------------------
+per-file batch=1 forward, Python       length-bucketed device batches,
+dispatch per clip                      one jit per bucket shape
+host STFT / norm per clip              frontend fused into the jit program
+.cpu() per layer per clip              one [S, B, D] pooled device->host
+                                       transfer per batch
+cuda empty_cache every batch           XLA arena allocator, donated buffers
+single device                          DP over a jax.sharding mesh
+
+Checkpoint/resume and the .npy+CSV store keep the reference's on-disk
+contracts (extract/checkpoint.py, extract/store.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from stutter_tpu.extract.batcher import Batch, BucketBatcher
+from stutter_tpu.extract.checkpoint import (
+    find_latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from stutter_tpu.extract.store import save_embeddings
+from stutter_tpu.frontend.wavlm_frontend import wavlm_prepare_batch
+from stutter_tpu.models.wavlm import WavLMConfig, wavlm_encode
+from stutter_tpu.models.whisper import (
+    WhisperConfig,
+    whisper_decoder_step,
+    whisper_encoder_forward,
+)
+from stutter_tpu.ops.logmel import WHISPER_N_SAMPLES, log_mel_spectrogram, pad_or_trim
+from stutter_tpu.ops.pooling import masked_mean_pool
+from stutter_tpu.parallel.mesh import MeshPlan, replicate, shard_batch
+from stutter_tpu.utils.logging import get_logger
+
+logger = get_logger("extract.pipeline")
+
+PRESETS = {
+    # fidelity: f32 activations, HIGHEST matmul precision — the <=1e-3 bar.
+    "fidelity": dict(precision=jax.lax.Precision.HIGHEST, activation_dtype=jnp.float32),
+    # fast: bf16 activations with f32 accumulation/LN/softmax — MXU peak rate.
+    "fast": dict(precision=jax.lax.Precision.DEFAULT, activation_dtype=jnp.bfloat16),
+}
+
+
+class WavLMExtractor:
+    """Layer-selected mean-pooled WavLM embeddings (reference C6)."""
+
+    def __init__(
+        self,
+        cfg: WavLMConfig,
+        params,
+        layer_indices: Sequence[int] | None = None,
+        mesh: MeshPlan | None = None,
+        preset: str = "fidelity",
+    ):
+        self.cfg = cfg
+        self.mesh = mesh
+        n_states = cfg.num_hidden_layers + 1
+        # reference default: [N-1, N-2, N-3, N//2] (WavLM_embeddings.py:506)
+        self.layer_indices = tuple(
+            layer_indices
+            if layer_indices is not None
+            else (n_states - 1, n_states - 2, n_states - 3, n_states // 2)
+        )
+        self.embedding_dim = cfg.hidden_size
+        self.column_names = [f"layer_{i}" for i in self.layer_indices]
+        opts = PRESETS[preset]
+        self.params = replicate(mesh, params)
+
+        def fn(params, waves, lengths):
+            waves = wavlm_prepare_batch(waves, lengths, cfg.do_normalize)
+            return wavlm_encode(
+                params, waves, cfg, self.layer_indices, sample_lengths=lengths, **opts
+            )
+
+        self._fn = jax.jit(fn)
+
+    def __call__(self, batch: Batch) -> dict[str, np.ndarray]:
+        waves, lengths = shard_batch(self.mesh, batch.waves, batch.lengths.astype(np.int32))
+        pooled = np.asarray(self._fn(self.params, waves, lengths))  # [S, B, D] f32
+        return {name: pooled[s] for s, name in enumerate(self.column_names)}
+
+
+class WhisperExtractor:
+    """Whisper encoder mean-pooled + decoder single-token embeddings (C7).
+
+    Preserves the reference's quirks: 30 s zero-padded mel is attended in
+    full (encoder pool is over all 1500 frames, padding included —
+    whisper_embeddings_large.py:278 pools the padded sequence), and the
+    decoder runs exactly one step with token id 0.
+    """
+
+    preferred_buckets = (30.0,)
+
+    def __init__(
+        self,
+        cfg: WhisperConfig,
+        params,
+        encoder_indices: Sequence[int] | None = None,
+        decoder_indices: Sequence[int] | None = None,
+        mesh: MeshPlan | None = None,
+        preset: str = "fidelity",
+    ):
+        self.cfg = cfg
+        self.mesh = mesh
+        n_enc, n_dec = cfg.encoder_layers + 1, cfg.decoder_layers + 1
+        # reference: last three hidden states each (whisper_embeddings_large.py:454-455)
+        self.encoder_indices = tuple(
+            encoder_indices if encoder_indices is not None else (n_enc - 1, n_enc - 2, n_enc - 3)
+        )
+        self.decoder_indices = tuple(
+            decoder_indices if decoder_indices is not None else (n_dec - 1, n_dec - 2, n_dec - 3)
+        )
+        self.embedding_dim = cfg.d_model
+        self.column_names = [f"encoder_layer_{i}" for i in self.encoder_indices] + [
+            f"decoder_layer_{i}" for i in self.decoder_indices
+        ]
+        opts = PRESETS[preset]
+        self.params = replicate(mesh, params)
+
+        def fn(params, waves):
+            mel = log_mel_spectrogram(pad_or_trim(waves, WHISPER_N_SAMPLES))
+            enc_last, enc_states = whisper_encoder_forward(params, mel, cfg, **opts)
+            _, dec_states = whisper_decoder_step(params, enc_last, 0, cfg, **opts)
+            enc_sel = enc_states[jnp.asarray(self.encoder_indices)]  # [Se, B, L, D]
+            enc_pooled = jnp.mean(enc_sel.astype(jnp.float32), axis=2)  # full-seq mean
+            dec_sel = dec_states[jnp.asarray(self.decoder_indices)][:, :, 0, :]
+            return enc_pooled, dec_sel.astype(jnp.float32)
+
+        self._fn = jax.jit(fn)
+
+    def __call__(self, batch: Batch) -> dict[str, np.ndarray]:
+        waves = shard_batch(self.mesh, batch.waves)
+        enc, dec = self._fn(self.params, waves)
+        enc, dec = np.asarray(enc), np.asarray(dec)
+        out = {f"encoder_layer_{i}": enc[s] for s, i in enumerate(self.encoder_indices)}
+        out.update({f"decoder_layer_{i}": dec[s] for s, i in enumerate(self.decoder_indices)})
+        return out
+
+
+class ExtractionPipeline:
+    """Split loop -> bucketed batches -> device forward -> store (C10)."""
+
+    def __init__(
+        self,
+        extractor,
+        batcher: BucketBatcher | None = None,
+        checkpoint_interval: int = 50,
+    ):
+        self.extractor = extractor
+        if batcher is None:
+            buckets = getattr(extractor, "preferred_buckets", None)
+            mesh: MeshPlan | None = getattr(extractor, "mesh", None)
+            batcher = BucketBatcher(
+                buckets_s=buckets or BucketBatcher.__init__.__defaults__[1],
+                batch_multiple=mesh.data_size if mesh else 1,
+            )
+        self.batcher = batcher
+        self.checkpoint_interval = checkpoint_interval
+
+    def run_split(
+        self,
+        metadata: pd.DataFrame,
+        split: str,
+        output_dir: str,
+        resume: bool = False,
+    ) -> pd.DataFrame:
+        """Extract one split, honoring checkpoint/resume, and persist it."""
+        split_meta = metadata[metadata["split"] == split].reset_index(drop=True)
+        if len(split_meta) == 0:
+            logger.warning("no files for split %s", split)
+            return pd.DataFrame()
+
+        results: list[dict] = []
+        ckpt_num = 0
+        if resume:
+            latest = find_latest_checkpoint(output_dir, split)
+            if latest is not None:
+                results = load_checkpoint(output_dir, split, latest)
+                ckpt_num = latest
+        done_paths = {r["path"] for r in results}
+        todo = split_meta[~split_meta["path"].isin(done_paths)].reset_index()
+
+        t0 = time.perf_counter()
+        audio_s = 0.0
+        since_ckpt = 0
+        for batch in self.batcher.batches(list(todo["path"])):
+            embeddings = self.extractor(batch)
+            for j, row_idx in enumerate(batch.rows):
+                if not batch.ok[j]:
+                    if j < len(batch.paths):
+                        logger.error("skipping %s (decode failed)", batch.paths[j])
+                    continue
+                meta_row = todo.iloc[row_idx]
+                entry = {
+                    "filename": meta_row["filename"],
+                    "path": meta_row["path"],
+                    "split": split,
+                }
+                if "label" in meta_row and not pd.isna(meta_row["label"]):
+                    entry["label"] = meta_row["label"]
+                for col, arr in embeddings.items():
+                    entry[col] = np.asarray(arr[j], np.float32)
+                results.append(entry)
+                since_ckpt += 1
+            audio_s += batch.audio_seconds
+            if since_ckpt >= self.checkpoint_interval:
+                ckpt_num += 1
+                save_checkpoint(results, output_dir, split, ckpt_num)
+                since_ckpt = 0
+        wall = time.perf_counter() - t0
+        if wall > 0 and audio_s > 0:
+            logger.info(
+                "split %s: %d files, %.1f audio-s in %.1f s (%.1fx real-time)",
+                split, len(results), audio_s, wall, audio_s / wall,
+            )
+
+        df = pd.DataFrame(results)
+        if len(df):
+            df = df.sort_values("path", kind="stable").reset_index(drop=True)
+            save_embeddings(df, output_dir, split, expected_dim=self.extractor.embedding_dim)
+        return df
+
+    def run(
+        self,
+        metadata: pd.DataFrame,
+        output_dir: str,
+        splits: Sequence[str] = ("train", "test", "devel"),
+        resume: bool = False,
+    ) -> dict[str, pd.DataFrame]:
+        return {s: self.run_split(metadata, s, output_dir, resume=resume) for s in splits}

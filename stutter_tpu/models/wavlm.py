@@ -161,14 +161,27 @@ def _gelu(x: jax.Array) -> jax.Array:
 
 
 def conv_feature_encoder(
-    params: Params, waveform: jax.Array, cfg: WavLMConfig, precision
+    params: Params,
+    waveform: jax.Array,
+    cfg: WavLMConfig,
+    precision,
+    sample_lengths: jax.Array | None = None,
 ) -> jax.Array:
     """Raw wave [B, T] -> frames [B, L, conv_dim[-1]] at ~49 Hz.
 
     HF ``WavLMFeatureEncoder`` (modeling_wavlm.py:754-789): first layer
     group-norm (base) or every layer LN (large), erf-GELU activations.
+
+    Padding correctness: the reference runs batch=1 unpadded, so batched
+    extraction must be padding-invariant. The floor-chain length formula
+    guarantees every valid output frame's receptive field lies inside the
+    valid samples, but the group norm normalizes over TIME — so its
+    statistics are computed over valid frames only, and each stage's padded
+    frames are re-zeroed (otherwise padding leaks into the stats and batched
+    != per-clip).
     """
     x = waveform[:, None, :].astype(jnp.float32)  # NCH
+    lengths = sample_lengths
     for i, layer in enumerate(params["conv_layers"]):
         x = jax.lax.conv_general_dilated(
             x,
@@ -180,10 +193,20 @@ def conv_feature_encoder(
         )
         if layer.get("b") is not None:
             x = x + layer["b"][None, :, None]
+        mask = None
+        if lengths is not None:
+            lengths = (lengths - cfg.conv_kernel[i]) // cfg.conv_stride[i] + 1
+            mask = (jnp.arange(x.shape[-1])[None, :] < lengths[:, None]).astype(x.dtype)
+            mask = mask[:, None, :]  # [B, 1, T]
         if cfg.feat_extract_norm == "group" and i == 0:
             # GroupNorm(groups=channels) == per-channel instance norm over time
-            mean = jnp.mean(x, axis=-1, keepdims=True)
-            var = jnp.var(x, axis=-1, keepdims=True)
+            if mask is None:
+                mean = jnp.mean(x, axis=-1, keepdims=True)
+                var = jnp.var(x, axis=-1, keepdims=True)
+            else:
+                n = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1.0)
+                mean = jnp.sum(x * mask, axis=-1, keepdims=True) / n
+                var = jnp.sum(jnp.square((x - mean) * mask), axis=-1, keepdims=True) / n
             x = (x - mean) * jax.lax.rsqrt(var + 1e-5)
             x = x * layer["norm"]["scale"][None, :, None] + layer["norm"]["bias"][None, :, None]
         elif cfg.feat_extract_norm == "layer":
@@ -191,6 +214,8 @@ def conv_feature_encoder(
             xt = layer_norm(xt, layer["norm"], 1e-5)
             x = jnp.swapaxes(xt, 1, 2)
         x = _gelu(x)
+        if mask is not None:
+            x = x * mask
     return jnp.swapaxes(x, 1, 2)  # [B, L, C]
 
 
@@ -330,7 +355,9 @@ def wavlm_encoder(
     position_bias = compute_position_bias(params["rel_attn_embed"], L, cfg)
 
     def body(carry, layer):
+        # cast back: f32 biases/LN params upcast bf16 activations otherwise
         out = _encoder_layer(layer, carry, position_bias, key_mask_bias, cfg, precision)
+        out = out.astype(carry.dtype)
         return out, out
 
     last, states = jax.lax.scan(body, hidden, params["layers"])
@@ -364,7 +391,9 @@ def wavlm_forward(
 
     Returns (last_hidden, all_hidden [N+1, B, L, D], frame_lengths [B]).
     """
-    feats = conv_feature_encoder(params["feature_encoder"], waveform, cfg, precision)
+    feats = conv_feature_encoder(
+        params["feature_encoder"], waveform, cfg, precision, sample_lengths=sample_lengths
+    )
     feats = layer_norm(feats, params["feature_projection"]["ln"], cfg.layer_norm_eps)
     hidden = (
         jnp.einsum(

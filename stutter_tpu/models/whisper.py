@@ -171,9 +171,9 @@ def whisper_encoder_forward(
 
     def body(carry, layer):
         h = _layer_norm(carry, layer["ln1_s"], layer["ln1_b"], eps)
-        carry = carry + _attention(h, h, layer, "attn", nh, precision)
-        h = _layer_norm(carry, layer["ln2_s"], layer["ln2_b"], eps)
-        out = carry + _ffn(h, layer, precision)
+        new = carry + _attention(h, h, layer, "attn", nh, precision)
+        h = _layer_norm(new, layer["ln2_s"], layer["ln2_b"], eps)
+        out = (new + _ffn(h, layer, precision)).astype(carry.dtype)
         return out, out
 
     last, states = jax.lax.scan(body, x, enc["layers"])
@@ -218,11 +218,11 @@ def whisper_decoder_step(
 
     def body(carry, layer):
         h = _layer_norm(carry, layer["ln1_s"], layer["ln1_b"], eps)
-        carry = carry + _attention(h, h, layer, "attn", nh, precision, causal=True)
-        h = _layer_norm(carry, layer["ln2_s"], layer["ln2_b"], eps)
-        carry = carry + _attention(h, enc_h, layer, "xattn", nh, precision)
-        h = _layer_norm(carry, layer["ln3_s"], layer["ln3_b"], eps)
-        out = carry + _ffn(h, layer, precision)
+        new = carry + _attention(h, h, layer, "attn", nh, precision, causal=True)
+        h = _layer_norm(new, layer["ln2_s"], layer["ln2_b"], eps)
+        new = new + _attention(h, enc_h, layer, "xattn", nh, precision)
+        h = _layer_norm(new, layer["ln3_s"], layer["ln3_b"], eps)
+        out = (new + _ffn(h, layer, precision)).astype(carry.dtype)
         return out, out
 
     last, states = jax.lax.scan(body, x, dec["layers"])

@@ -3,19 +3,28 @@
 Standard JAX trick for hardware-free sharding tests (SURVEY.md §4):
 ``xla_force_host_platform_device_count=8`` gives 8 fake CPU devices so all
 mesh/collective code paths compile and execute exactly as on a v5e-8 slice.
-Must run before jax is imported anywhere.
+
+Note: this environment preregisters a remote TPU backend at interpreter
+startup (sitecustomize), which overrides ``JAX_PLATFORMS`` from the
+environment — so we must force CPU via ``jax.config`` before any backend
+initializes, not via env vars alone.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert jax.devices()[0].platform == "cpu"
+assert len(jax.devices()) == 8, jax.devices()
 
 
 @pytest.fixture

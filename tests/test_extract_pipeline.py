@@ -1,0 +1,189 @@
+"""Pipeline + contract tests on a synthetic corpus (SURVEY.md §4 items 2-3)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from stutter_tpu.audio.synthetic import make_synthetic_corpus
+from stutter_tpu.extract import (
+    BucketBatcher,
+    ExtractionPipeline,
+    WavLMExtractor,
+    create_metadata_from_files,
+    find_latest_checkpoint,
+    load_checkpoint,
+    load_embeddings,
+    save_checkpoint,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("corpus"))
+    truth = make_synthetic_corpus(root, n_per_split={"train": 8, "test": 4, "devel": 4})
+    return root, truth
+
+
+@pytest.fixture(scope="module")
+def tiny_wavlm():
+    import jax
+
+    from stutter_tpu.models import WavLMConfig, init_wavlm_params
+
+    cfg = WavLMConfig.tiny(hidden_size=32, layers=2, heads=4)
+    params = init_wavlm_params(jax.random.key(0), cfg)
+    return cfg, params
+
+
+def test_scanner_reads_ksf_layout(corpus):
+    root, truth = corpus
+    meta = create_metadata_from_files(root, split="all")
+    assert len(meta) == len(truth)
+    assert set(meta.columns) >= {"filename", "path", "label", "split"}
+    assert set(meta["split"]) == {"train", "test", "devel"}
+    # labels joined from lab CSVs
+    merged = meta.merge(truth, on="filename", suffixes=("", "_truth"))
+    assert (merged["label"] == merged["label_truth"]).all()
+
+
+def test_scanner_split_filter(corpus):
+    root, truth = corpus
+    meta = create_metadata_from_files(root, split="train")
+    assert set(meta["split"]) == {"train"}
+    assert len(meta) == (truth["split"] == "train").sum()
+
+
+def test_bucket_batcher_shapes(corpus):
+    root, _ = corpus
+    meta = create_metadata_from_files(root, split="train")
+    batcher = BucketBatcher(buckets_s=(1.0, 2.0, 4.0), audio_budget_s=8.0, batch_multiple=4)
+    seen = set()
+    for batch in batcher.batches(list(meta["path"])):
+        assert batch.waves.shape[0] % 4 == 0
+        assert batch.waves.shape[1] == int(batch.bucket_s * 16000)
+        assert np.all(batch.lengths[batch.ok] > 0)
+        seen.update(batch.paths)
+    assert seen == set(meta["path"])
+
+
+def test_pipeline_end_to_end(corpus, tiny_wavlm, tmp_path):
+    root, _ = corpus
+    cfg, params = tiny_wavlm
+    out_dir = str(tmp_path / "emb" / "wavlm")
+
+    meta = create_metadata_from_files(root, split="all")
+    extractor = WavLMExtractor(cfg, params)
+    pipe = ExtractionPipeline(
+        extractor,
+        batcher=BucketBatcher(buckets_s=(2.0, 4.0), audio_budget_s=8.0),
+        checkpoint_interval=3,
+    )
+    dfs = pipe.run(meta, out_dir)
+
+    for split in ("train", "test", "devel"):
+        split_dir = os.path.join(out_dir, split)
+        assert os.path.exists(os.path.join(split_dir, "embedding_metadata.csv"))
+        n_states = cfg.num_hidden_layers + 1
+        for idx in (n_states - 1, n_states - 2, n_states - 3, n_states // 2):
+            f = os.path.join(split_dir, f"layer_{idx}_embeddings.npy")
+            assert os.path.exists(f), f
+            arr = np.load(f)
+            assert arr.shape == (len(dfs[split]), cfg.hidden_size)
+            assert np.all(np.isfinite(arr))
+
+    # read-side contract: combined loader
+    metadata, layers = load_embeddings(str(tmp_path / "emb"), "wavlm")
+    assert metadata is not None
+    n_total = sum(len(d) for d in dfs.values())
+    assert len(metadata) == n_total
+    for arr in layers.values():
+        assert arr.shape == (n_total, cfg.hidden_size)
+    # vstack order: train -> test -> devel
+    assert list(metadata["split"].unique()) == ["train", "test", "devel"]
+
+
+def test_pipeline_batched_equals_reference_loop(corpus, tiny_wavlm, tmp_path):
+    """Bucketed batched extraction must equal a per-file batch=1 loop."""
+    import jax.numpy as jnp
+
+    from stutter_tpu.audio.wavio import load_audio
+    from stutter_tpu.frontend import wavlm_prepare_batch
+    from stutter_tpu.models import wavlm_encode
+
+    root, _ = corpus
+    cfg, params = tiny_wavlm
+    out_dir = str(tmp_path / "emb2" / "wavlm")
+    meta = create_metadata_from_files(root, split="devel")
+
+    pipe = ExtractionPipeline(
+        WavLMExtractor(cfg, params),
+        batcher=BucketBatcher(buckets_s=(2.0, 4.0), audio_budget_s=16.0),
+    )
+    df = pipe.run_split(meta, "devel", out_dir)
+
+    n_states = cfg.num_hidden_layers + 1
+    col = f"layer_{n_states - 1}"
+    for _, row in df.iterrows():
+        wave = load_audio(row["path"], target_sr=16000)
+        w = wavlm_prepare_batch(wave[None], np.array([len(wave)]), cfg.do_normalize)
+        single = np.asarray(
+            wavlm_encode(params, w, cfg, (n_states - 1,), sample_lengths=jnp.array([len(wave)]))
+        )[0, 0]
+        got = np.asarray(row[col])
+        cos = 1 - np.dot(single, got) / (np.linalg.norm(single) * np.linalg.norm(got))
+        assert cos < 1e-5, (row["path"], cos)
+
+
+def test_checkpoint_resume(corpus, tiny_wavlm, tmp_path):
+    root, _ = corpus
+    cfg, params = tiny_wavlm
+    out_dir = str(tmp_path / "emb3" / "wavlm")
+    meta = create_metadata_from_files(root, split="train")
+
+    # simulate a prior partial run: checkpoint with first 3 files "done"
+    n_states = cfg.num_hidden_layers + 1
+    layer_cols = [f"layer_{i}" for i in (n_states - 1, n_states - 2, n_states - 3, n_states // 2)]
+    fake_results = []
+    for _, row in meta.iloc[:3].iterrows():
+        entry = {
+            "filename": row["filename"], "path": row["path"], "split": "train",
+            "label": row["label"], "marker": True,
+        }
+        for c in layer_cols:
+            entry[c] = np.full((cfg.hidden_size,), 7.0, np.float32)
+        fake_results.append(entry)
+    save_checkpoint(fake_results, out_dir, "train", 1)
+    assert find_latest_checkpoint(out_dir, "train") == 1
+    assert len(load_checkpoint(out_dir, "train", 1)) == 3
+
+    pipe = ExtractionPipeline(
+        WavLMExtractor(cfg, params),
+        batcher=BucketBatcher(buckets_s=(4.0,), audio_budget_s=64.0),
+        checkpoint_interval=100,
+    )
+    df = pipe.run_split(meta, "train", out_dir, resume=True)
+    # the 3 checkpointed rows survive untouched; remaining rows got extracted
+    assert len(df) == len(meta)
+    assert df["path"].is_unique
+    markers = df.get("marker")
+    assert markers.notna().sum() == 3
+
+
+def test_pipeline_skips_bad_files(corpus, tiny_wavlm, tmp_path):
+    root, _ = corpus
+    cfg, params = tiny_wavlm
+    meta = create_metadata_from_files(root, split="devel").copy()
+    bad = meta.iloc[0:1].copy()
+    bad["path"] = str(tmp_path / "nope.wav")
+    bad["filename"] = "nope"
+    meta = pd.concat([meta, bad], ignore_index=True)
+
+    pipe = ExtractionPipeline(
+        WavLMExtractor(cfg, params),
+        batcher=BucketBatcher(buckets_s=(4.0,), audio_budget_s=64.0),
+    )
+    df = pipe.run_split(meta, "devel", str(tmp_path / "emb4"))
+    assert len(df) == len(meta) - 1
+    assert "nope" not in set(df["filename"])
