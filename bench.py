@@ -1,0 +1,96 @@
+"""Headline benchmark: WavLM-Large embedding extraction throughput per chip.
+
+BASELINE.md: >= 50x real-time (audio-sec/sec) per v5e chip for WavLM-Large
+extraction at <=1e-3 embedding cosine fidelity. The reference implies batch=1
+per-file GPU forwards (WavLM_embeddings.py:578-635); this measures the TPU
+build's batched jit path on whatever accelerator is the default platform.
+
+Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "audio-sec/sec/chip", "vs_baseline": N/50}
+plus diagnostic fields (fidelity cosine distance fast-vs-f32, batch shape).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from stutter_tpu.frontend.wavlm_frontend import wavlm_prepare_batch
+    from stutter_tpu.models import WavLMConfig, init_wavlm_params, wavlm_encode
+
+    cfg = WavLMConfig.large()
+    params = init_wavlm_params(jax.random.key(0), cfg)
+    n_states = cfg.num_hidden_layers + 1
+    layer_indices = (n_states - 1, n_states - 2, n_states - 3, n_states // 2)
+
+    clip_s = 3.0  # KSF/SEP-28k-style 3 s clips
+    sr = 16000
+    batch = 64
+    n_samples = int(clip_s * sr)
+
+    def make_fn(precision, dtype):
+        def fn(p, waves, lengths):
+            x = wavlm_prepare_batch(waves, lengths, cfg.do_normalize)
+            return wavlm_encode(
+                p, x, cfg, layer_indices, sample_lengths=lengths,
+                precision=precision, activation_dtype=dtype,
+            )
+        return jax.jit(fn)
+
+    fast = make_fn(jax.lax.Precision.DEFAULT, jnp.bfloat16)
+    exact = make_fn(jax.lax.Precision.HIGHEST, jnp.float32)
+
+    rs = np.random.RandomState(0)
+    waves = (rs.randn(batch, n_samples) * 0.1).astype(np.float32)
+    lengths = np.full((batch,), n_samples, np.int32)
+    waves_d = jax.device_put(waves)
+    lengths_d = jax.device_put(lengths)
+
+    # fidelity check on a small slice (f32/HIGHEST as reference numerics)
+    small_w, small_l = waves_d[:4], lengths_d[:4]
+    emb_fast = np.asarray(fast(params, small_w, small_l), np.float64)
+    emb_exact = np.asarray(exact(params, small_w, small_l), np.float64)
+    cos = []
+    for s in range(emb_fast.shape[0]):
+        for b in range(emb_fast.shape[1]):
+            a_v, b_v = emb_fast[s, b], emb_exact[s, b]
+            cos.append(1.0 - np.dot(a_v, b_v) / (np.linalg.norm(a_v) * np.linalg.norm(b_v)))
+    fidelity = float(np.max(cos))
+    preset = "fast" if fidelity <= 1e-3 else "fidelity"
+    bench_fn = fast if preset == "fast" else exact
+
+    # warmup/compile at the bench shape
+    bench_fn(params, waves_d, lengths_d)[0].block_until_ready()
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = bench_fn(params, waves_d, lengths_d)
+    jax.block_until_ready(out)
+    wall = time.perf_counter() - t0
+
+    audio_s = batch * clip_s * iters
+    throughput = audio_s / wall
+    result = {
+        "metric": "wavlm_large_extraction_throughput",
+        "value": round(throughput, 2),
+        "unit": "audio-sec/sec/chip",
+        "vs_baseline": round(throughput / 50.0, 3),
+        "preset": preset,
+        "fidelity_cosine_distance_fast_vs_f32": fidelity,
+        "batch": batch,
+        "clip_seconds": clip_s,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Parameter / activation PartitionSpecs for WavLM & heads (DP + optional TP).
+
+TP layout for the stacked-layer WavLM pytree (leading axis = layer, scanned):
+attention q/k/v and ffn-in shard their OUTPUT feature dim over the model
+axis; out-proj and ffn-out shard their INPUT (contracting) dim, so the
+all-reduce lands once per block — the Megatron layout, expressed purely as
+NamedSharding annotations and compiled to ICI collectives by GSPMD.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from stutter_tpu.parallel.mesh import MODEL_AXIS, MeshPlan
+
+
+def wavlm_param_spec(plan: MeshPlan) -> dict:
+    """PartitionSpec pytree matching init_wavlm_params/convert output."""
+    m = MODEL_AXIS if plan.model_size > 1 else None
+    rep = P()
+    layer_spec = {
+        # [L, D, D]: column-parallel qkv, row-parallel out
+        "q_w": P(None, None, m), "q_b": P(None, m),
+        "k_w": P(None, None, m), "k_b": P(None, m),
+        "v_w": P(None, None, m), "v_b": P(None, m),
+        "o_w": P(None, m, None), "o_b": rep,
+        "gru_w": rep, "gru_b": rep, "gru_const": rep,
+        # [L, D, F] / [L, F, D]
+        "ff_w1": P(None, None, m), "ff_b1": P(None, m),
+        "ff_w2": P(None, m, None), "ff_b2": rep,
+        "ln1_s": rep, "ln1_b": rep, "ln2_s": rep, "ln2_b": rep,
+    }
+    return {
+        "feature_encoder": {"conv_layers": [
+            {"w": rep, "b": rep, "norm": {"scale": rep, "bias": rep}}
+        ]},
+        "feature_projection": {"ln": {"scale": rep, "bias": rep}, "w": rep, "b": rep},
+        "encoder": {
+            "pos_conv": {"w": rep, "b": rep},
+            "ln": {"scale": rep, "bias": rep},
+            "rel_attn_embed": rep,
+            "layers": layer_spec,
+        },
+    }
+
+
+def shard_params(plan: MeshPlan, params, spec_tree) -> dict:
+    """device_put a param pytree with per-leaf NamedShardings.
+
+    spec_tree may be a partial prefix (e.g. conv_layers listed once); leaves
+    without a matching spec are replicated.
+    """
+
+    def place(path, leaf):
+        spec = _lookup(spec_tree, path)
+        return jax.device_put(leaf, NamedSharding(plan.mesh, spec))
+
+    return _tree_map_with_path(place, params)
+
+
+def _lookup(spec_tree, path):
+    node = spec_tree
+    for key in path:
+        if isinstance(node, dict) and key in node:
+            node = node[key]
+        elif isinstance(node, list):
+            node = node[0] if node else P()
+        else:
+            return P()
+        if node is None:
+            return P()
+    return node if isinstance(node, P) else P()
+
+
+def _tree_map_with_path(fn, tree, path=()):
+    if isinstance(tree, dict):
+        return {k: _tree_map_with_path(fn, v, path + (k,)) for k, v in tree.items()}
+    if isinstance(tree, list):
+        return [_tree_map_with_path(fn, v, path + (i,)) for i, v in enumerate(tree)]
+    if tree is None:
+        return None
+    return fn(path, tree)

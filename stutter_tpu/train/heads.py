@@ -1,0 +1,177 @@
+"""JAX-native downstream classifier heads (reference E5 -> TPU-first).
+
+The reference trains sklearn SVM/RF/XGB pipelines on CPU
+(``model_training_01.py:489-518``). The TPU build's primary classifiers are
+JAX heads trained on device — a class-weighted linear (multinomial logistic)
+model and an MLP (the BASELINE.json configs name an MLP classifier) — behind
+an sklearn-style fit/predict interface so the training drivers treat every
+backend uniformly. StandardScaler is reimplemented to mirror sklearn's
+(mean/std with ddof=0) since it's part of the reference Pipeline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stutter_tpu.train.class_weights import compute_class_weights
+from stutter_tpu.utils.logging import get_logger
+
+logger = get_logger("train.heads")
+
+
+class StandardScaler:
+    """sklearn-equivalent zero-mean unit-std feature scaling."""
+
+    def __init__(self):
+        self.mean_: np.ndarray | None = None
+        self.scale_: np.ndarray | None = None
+
+    def fit(self, X: np.ndarray) -> "StandardScaler":
+        X = np.asarray(X, np.float64)
+        self.mean_ = X.mean(axis=0)
+        std = X.std(axis=0)
+        self.scale_ = np.where(std == 0.0, 1.0, std)
+        return self
+
+    def transform(self, X: np.ndarray) -> np.ndarray:
+        return ((np.asarray(X, np.float64) - self.mean_) / self.scale_).astype(np.float32)
+
+    def fit_transform(self, X: np.ndarray) -> np.ndarray:
+        return self.fit(X).transform(X)
+
+
+@dataclasses.dataclass(frozen=True)
+class HeadConfig:
+    in_dim: int
+    n_classes: int
+    hidden_dims: tuple[int, ...] = ()  # () = linear / logistic head
+    dropout: float = 0.1
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-4
+    epochs: int = 200
+    batch_size: int = 256
+    label_smoothing: float = 0.0
+    seed: int = 0
+
+
+def init_head_params(rng: jax.Array, cfg: HeadConfig) -> list[dict[str, jax.Array]]:
+    dims = (cfg.in_dim, *cfg.hidden_dims, cfg.n_classes)
+    keys = jax.random.split(rng, len(dims) - 1)
+    return [
+        {
+            "w": jax.random.normal(k, (din, dout), jnp.float32) * np.sqrt(2.0 / din),
+            "b": jnp.zeros((dout,), jnp.float32),
+        }
+        for k, din, dout in zip(keys, dims[:-1], dims[1:])
+    ]
+
+
+def head_forward(
+    params: list[dict[str, jax.Array]],
+    x: jax.Array,
+    dropout: float = 0.0,
+    rng: jax.Array | None = None,
+) -> jax.Array:
+    """Logits for [B, D] features."""
+    h = x
+    for i, layer in enumerate(params):
+        h = h @ layer["w"] + layer["b"]
+        if i < len(params) - 1:
+            h = jax.nn.gelu(h)
+            if dropout > 0.0 and rng is not None:
+                rng, sub = jax.random.split(rng)
+                keep = jax.random.bernoulli(sub, 1.0 - dropout, h.shape)
+                h = jnp.where(keep, h / (1.0 - dropout), 0.0)
+    return h
+
+
+def weighted_softmax_xent(
+    logits: jax.Array,
+    labels: jax.Array,
+    class_weights: jax.Array | None = None,
+    label_smoothing: float = 0.0,
+) -> jax.Array:
+    n_classes = logits.shape[-1]
+    onehot = jax.nn.one_hot(labels, n_classes)
+    if label_smoothing > 0.0:
+        onehot = onehot * (1.0 - label_smoothing) + label_smoothing / n_classes
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+    per_example = -jnp.sum(onehot * logp, axis=-1)
+    if class_weights is not None:
+        w = class_weights[labels]
+        return jnp.sum(per_example * w) / jnp.maximum(jnp.sum(w), 1e-9)
+    return jnp.mean(per_example)
+
+
+class JaxClassifier:
+    """sklearn-style fit/predict wrapper around a jit-compiled optax loop.
+
+    class_weight: None | 'balanced' (sklearn semantics via
+    train/class_weights.py).
+    """
+
+    def __init__(self, cfg: HeadConfig, class_weight: str | None = "balanced"):
+        self.cfg = cfg
+        self.class_weight = class_weight
+        self.params: Any = None
+        self.scaler = StandardScaler()
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "JaxClassifier":
+        import optax
+
+        cfg = self.cfg
+        Xs = self.scaler.fit_transform(X)
+        y = np.asarray(y, np.int32)
+        weights = (
+            jnp.asarray(compute_class_weights(y, cfg.n_classes), jnp.float32)
+            if self.class_weight == "balanced"
+            else None
+        )
+
+        rng = jax.random.key(cfg.seed)
+        rng, init_key = jax.random.split(rng)
+        params = init_head_params(init_key, cfg)
+        tx = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+        opt_state = tx.init(params)
+
+        n = len(Xs)
+        bs = min(cfg.batch_size, n)
+
+        @jax.jit
+        def step(params, opt_state, xb, yb, key):
+            def loss_fn(p):
+                logits = head_forward(p, xb, dropout=cfg.dropout, rng=key)
+                return weighted_softmax_xent(logits, yb, weights, cfg.label_smoothing)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        Xd = jnp.asarray(Xs)
+        yd = jnp.asarray(y)
+        steps_per_epoch = max(1, n // bs)
+        np_rng = np.random.RandomState(cfg.seed)
+        for _epoch in range(cfg.epochs):
+            perm = np_rng.permutation(n)
+            for s in range(steps_per_epoch):
+                idx = perm[s * bs : (s + 1) * bs]
+                if len(idx) < bs:  # keep shapes static
+                    idx = np.concatenate([idx, perm[: bs - len(idx)]])
+                rng, key = jax.random.split(rng)
+                params, opt_state, _ = step(params, opt_state, Xd[idx], yd[idx], key)
+        self.params = params
+        return self
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        Xs = jnp.asarray(self.scaler.transform(X))
+        logits = head_forward(self.params, Xs)
+        return np.asarray(jax.nn.softmax(logits, axis=-1))
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        return self.predict_proba(X).argmax(axis=-1)

@@ -1,0 +1,162 @@
+"""Training-stack tests: metrics vs sklearn, SMOTE, weights, heads, trainers."""
+
+import numpy as np
+import pytest
+
+
+def test_metrics_match_sklearn(rng):
+    from sklearn.metrics import (
+        accuracy_score,
+        balanced_accuracy_score,
+        confusion_matrix as sk_cm,
+        f1_score,
+        precision_recall_fscore_support,
+    )
+
+    from stutter_tpu.train import classification_metrics
+
+    y_true = rng.randint(0, 4, size=200)
+    y_pred = rng.randint(0, 4, size=200)
+    m = classification_metrics(y_true, y_pred, n_classes=4)
+
+    assert m["accuracy"] == pytest.approx(accuracy_score(y_true, y_pred))
+    assert m["balanced_accuracy"] == pytest.approx(balanced_accuracy_score(y_true, y_pred))
+    assert m["weighted_f1"] == pytest.approx(f1_score(y_true, y_pred, average="weighted"))
+    assert m["macro_f1"] == pytest.approx(f1_score(y_true, y_pred, average="macro"))
+    np.testing.assert_array_equal(m["confusion_matrix"], sk_cm(y_true, y_pred))
+    p, r, f, s = precision_recall_fscore_support(y_true, y_pred, labels=range(4), zero_division=0)
+    for c in range(4):
+        pc = m["per_class"][str(c)]
+        assert pc["precision"] == pytest.approx(p[c])
+        assert pc["recall"] == pytest.approx(r[c])
+        assert pc["f1"] == pytest.approx(f[c])
+        assert pc["support"] == s[c]
+
+
+def test_class_weights_match_sklearn(rng):
+    from sklearn.utils.class_weight import compute_class_weight as sk_cw
+
+    from stutter_tpu.train import compute_class_weights
+
+    y = rng.choice([0, 1, 2], size=150, p=[0.7, 0.2, 0.1])
+    ours = compute_class_weights(y, 3)
+    theirs = sk_cw("balanced", classes=np.arange(3), y=y)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-9)
+
+
+def test_smote_balances_and_interpolates(rng):
+    from stutter_tpu.train import apply_smote_oversampling
+
+    X_maj = rng.randn(50, 8) + 5.0
+    X_min = rng.randn(8, 8) - 5.0
+    X = np.vstack([X_maj, X_min]).astype(np.float32)
+    y = np.array([0] * 50 + [1] * 8)
+
+    Xr, yr = apply_smote_oversampling(X, y, k_neighbors=3)
+    counts = np.bincount(yr)
+    assert counts[0] == counts[1] == 50
+    # originals preserved as a prefix
+    np.testing.assert_array_equal(Xr[: len(X)], X)
+    # synthetic minority samples live in the minority cluster's region
+    synth = Xr[len(X):]
+    assert np.all(yr[len(X):] == 1)
+    assert synth.mean() < -3.0
+    lo, hi = X_min.min(axis=0) - 1e-5, X_min.max(axis=0) + 1e-5
+    assert np.all(synth >= lo) and np.all(synth <= hi)  # convex interpolation
+
+
+def test_smote_skips_tiny_classes(rng):
+    from stutter_tpu.train import apply_smote_oversampling
+
+    X = rng.randn(11, 4).astype(np.float32)
+    y = np.array([0] * 10 + [1])  # min class size 1 -> k<1 -> skip
+    Xr, yr = apply_smote_oversampling(X, y, k_neighbors=3)
+    np.testing.assert_array_equal(Xr, X)
+    np.testing.assert_array_equal(yr, y)
+
+
+def test_augment_profiles(rng):
+    import random
+
+    from stutter_tpu.train import augment_audio
+    from stutter_tpu.train.augment import AugmentConfig
+
+    x = (0.5 * np.sin(2 * np.pi * 220 * np.arange(8000) / 16000)).astype(np.float32)
+    for kind in ("speed", "noise", "volume", "none"):
+        y = augment_audio(x, 16000, kind, config=AugmentConfig.conservative(),
+                          rng=random.Random(0))
+        assert y.dtype == np.float32
+        assert np.max(np.abs(y)) <= 1.0
+        assert len(y) == len(x) or kind == "speed"  # speed round trip may be +-1
+    # noise actually perturbs; volume changes scale
+    yn = augment_audio(x, 16000, "noise", rng=random.Random(0))
+    assert not np.allclose(yn, x)
+
+
+def test_pitch_shift_moves_tone():
+    from stutter_tpu.ops.pitch import pitch_shift
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    x = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+    y = np.asarray(pitch_shift(x, sr, 2))  # +2 semitones = x1.1225
+    assert y.shape == x.shape
+    mid = y[2000:-2000] * np.hanning(len(y) - 4000)
+    spec = np.abs(np.fft.rfft(mid))
+    peak_hz = np.argmax(spec) * sr / len(mid)
+    expected = 440.0 * 2 ** (2 / 12)
+    assert abs(peak_hz - expected) < 8.0, peak_hz
+
+
+def _blobs(rng, n=60, d=16, classes=3, sep=4.0):
+    centers = np.random.RandomState(12345).randn(classes, d) * sep  # shared centers
+    X, y = [], []
+    for c in range(classes):
+        X.append(centers[c] + rng.randn(n, d))
+        y.extend([c] * n)
+    return np.vstack(X).astype(np.float32), np.array(y)
+
+
+def test_jax_classifier_learns(rng):
+    from stutter_tpu.train.heads import HeadConfig, JaxClassifier
+
+    X, y = _blobs(rng)
+    Xte, yte = _blobs(np.random.RandomState(1))
+    clf = JaxClassifier(HeadConfig(in_dim=16, n_classes=3, hidden_dims=(32,), epochs=60))
+    clf.fit(X, y)
+    acc = (clf.predict(Xte) == yte).mean()
+    assert acc > 0.95, acc
+    proba = clf.predict_proba(Xte[:5])
+    np.testing.assert_allclose(proba.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_train_balanced_model_all_backends(rng):
+    from stutter_tpu.train import train_balanced_model
+
+    X, y = _blobs(rng, n=30)
+    Xte, yte = _blobs(np.random.RandomState(1), n=10)
+    for backend in ("svm", "rf", "xgb", "linear"):
+        model, results = train_balanced_model(
+            X, y, Xte, yte, classifier_type=backend,
+            class_names=["a", "b", "c"], use_smote=True,
+        )
+        assert results["balanced_accuracy"] > 0.9, (backend, results["balanced_accuracy"])
+        assert set(results["per_class"]) == {"a", "b", "c"}
+
+
+def test_train_improved_models_grid(rng):
+    from stutter_tpu.train import train_improved_models
+
+    X, y = _blobs(rng, n=25)
+    # imbalance the training set
+    keep = np.concatenate([np.arange(25), np.arange(25, 35), np.arange(50, 75)])
+    X, y = X[keep], y[keep]
+    Xte, yte = _blobs(np.random.RandomState(1), n=10)
+    results = train_improved_models(X, y, Xte, yte, class_names=["a", "b", "c"])
+    assert set(results) == {
+        "Original_SVM_Basic", "Original_SVM_Weighted",
+        "Original_RF_Basic", "Original_RF_Weighted",
+        "SMOTE_SVM_Basic", "SMOTE_RF_Basic",
+    }
+    best = max(results.values(), key=lambda r: r["balanced_accuracy"])
+    assert best["balanced_accuracy"] > 0.9
