@@ -1,0 +1,112 @@
+"""End-to-end fine-tune CLI (BASELINE config[3]).
+
+No reference equivalent exists (the reference only does frozen feature
+extraction); this is the TPU build's first-class training entry point:
+WavLM backbone + layer-weighted-sum + MLP head, class-weighted CE, DP mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from stutter_tpu.cli.common import add_mesh_args, build_mesh, load_wavlm_model
+from stutter_tpu.utils.logging import setup_logging
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Fine-tune WavLM end-to-end (TPU)")
+    parser.add_argument("--data_dir", type=str, required=True)
+    parser.add_argument("--results_dir", type=str, required=True)
+    parser.add_argument("--model_name", type=str, default="microsoft/wavlm-large")
+    parser.add_argument("--model_path", type=str, default=None)
+    parser.add_argument("--epochs", type=int, default=5)
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--backbone_lr", type=float, default=1e-5)
+    parser.add_argument("--head_lr", type=float, default=1e-3)
+    parser.add_argument("--max_length", type=float, default=10.0)
+    parser.add_argument("--random_init", action="store_true")
+    add_mesh_args(parser)
+    return parser.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    logger = setup_logging("finetune")
+
+    import jax.numpy as jnp
+
+    from stutter_tpu.extract import BucketBatcher, create_metadata_from_files
+    from stutter_tpu.train.class_weights import compute_class_weights
+    from stutter_tpu.train.data import build_label_maps
+    from stutter_tpu.train.finetune import FinetuneConfig, FinetuneTrainer
+    from stutter_tpu.train.metrics import classification_metrics
+    from stutter_tpu.train.persistence import save_model, save_results
+
+    mesh = build_mesh(args)
+    cfg_model, params = load_wavlm_model(args.model_path or args.model_name, args.random_init)
+
+    metadata = create_metadata_from_files(args.data_dir, split="all")
+    if len(metadata) == 0 or "label" not in metadata.columns:
+        logger.error("no labeled files under %s", args.data_dir)
+        return 1
+    metadata = metadata[metadata["label"].notna()].reset_index(drop=True)
+    label_to_idx, idx_to_label = build_label_maps(metadata["label"])
+    class_names = [str(idx_to_label[i]) for i in range(len(idx_to_label))]
+
+    train_meta = metadata[metadata["split"] == "train"].reset_index(drop=True)
+    eval_meta = metadata[metadata["split"].isin(["test", "devel"])].reset_index(drop=True)
+    y_train = train_meta["label"].map(label_to_idx).to_numpy()
+    class_weights = compute_class_weights(y_train, len(class_names))
+
+    cfg = FinetuneConfig(
+        model=cfg_model, n_classes=len(class_names),
+        backbone_lr=args.backbone_lr, head_lr=args.head_lr,
+        precision=__import__("jax").lax.Precision.DEFAULT,
+        activation_dtype=jnp.bfloat16,
+    )
+    trainer = FinetuneTrainer(cfg, backbone_params=params, mesh=mesh)
+    batcher = BucketBatcher(
+        audio_budget_s=args.batch_size * 3.0, max_batch=args.batch_size,
+        batch_multiple=mesh.data_size if mesh else 1, max_length_s=args.max_length,
+    )
+
+    label_by_path = dict(zip(train_meta["path"], y_train))
+    for epoch in range(args.epochs):
+        losses = []
+        for batch in batcher.batches(list(train_meta["path"])):
+            labels = np.array(
+                [label_by_path.get(p, 0) for p in batch.paths]
+                + [0] * (len(batch.waves) - len(batch.paths)),
+                np.int32,
+            )
+            aux = trainer.step(batch.waves, batch.lengths, labels, class_weights)
+            losses.append(aux["loss"])
+        logger.info("epoch %d: mean loss %.4f", epoch, float(np.mean(losses)))
+
+    # evaluation
+    y_true, y_pred = [], []
+    eval_labels = dict(zip(eval_meta["path"], eval_meta["label"].map(label_to_idx)))
+    for batch in batcher.batches(list(eval_meta["path"])):
+        preds = trainer.predict(batch.waves, batch.lengths)
+        for j, p in enumerate(batch.paths):
+            if batch.ok[j] and p in eval_labels:
+                y_true.append(eval_labels[p])
+                y_pred.append(int(preds[j]))
+    results = classification_metrics(np.array(y_true), np.array(y_pred),
+                                     len(class_names), class_names)
+    logger.info("eval balanced_acc=%.4f weighted_f1=%.4f",
+                results["balanced_accuracy"], results["weighted_f1"])
+    save_results({k: v for k, v in results.items() if k != "confusion_matrix"},
+                 args.results_dir, "finetune_results.json")
+    import jax
+
+    save_model(jax.tree.map(np.asarray, trainer.params), args.results_dir,
+               "wavlm_finetune", "weighted_sum", "mlp", results)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

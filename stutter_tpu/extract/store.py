@@ -68,11 +68,11 @@ def load_embeddings(
     Row order of each layer array matches the concatenated metadata rows
     (train -> test -> devel) — downstream consumers slice positionally.
     """
-    model_dir = (
-        embeddings_dir
-        if os.path.basename(embeddings_dir) == model_type or model_type in embeddings_dir
-        else os.path.join(embeddings_dir, model_type)
-    )
+    # reference uses a substring heuristic (`model_type in embeddings_dir`,
+    # model_training_01.py:75-77) that misfires on paths merely containing the
+    # model name; resolve by directory existence instead
+    candidate = os.path.join(embeddings_dir, model_type)
+    model_dir = candidate if os.path.isdir(candidate) else embeddings_dir
     if not os.path.isdir(model_dir):
         logger.error("embeddings directory for %s not found: %s", model_type, model_dir)
         return None, {}

@@ -36,22 +36,27 @@ def make_classifier(
     n_classes: int,
     class_weight: str | None = "balanced",
     random_state: int = 42,
+    head_overrides: dict | None = None,
 ):
     """Build an sklearn-style estimator for the given backend name.
 
     sklearn backends get wrapped in Pipeline(StandardScaler, clf) to mirror
-    the reference exactly; JAX backends scale internally.
+    the reference exactly; JAX backends scale internally. head_overrides are
+    extra HeadConfig fields (epochs, learning_rate, ...) for the JAX heads.
     """
+    overrides = dict(head_overrides or {})
     if classifier_type in ("mlp", "jax_mlp"):
+        overrides.setdefault("hidden_dims", (256,))
         return JaxClassifier(
-            HeadConfig(in_dim=n_features, n_classes=n_classes, hidden_dims=(256,),
-                       seed=random_state),
+            HeadConfig(in_dim=n_features, n_classes=n_classes, seed=random_state,
+                       **overrides),
             class_weight=class_weight,
         )
     if classifier_type in ("linear", "logreg"):
+        overrides.setdefault("hidden_dims", ())
         return JaxClassifier(
-            HeadConfig(in_dim=n_features, n_classes=n_classes, hidden_dims=(),
-                       seed=random_state),
+            HeadConfig(in_dim=n_features, n_classes=n_classes, seed=random_state,
+                       **overrides),
             class_weight=class_weight,
         )
 
@@ -100,6 +105,7 @@ def train_balanced_model(
     use_smote: bool = True,
     smote_k_neighbors: int = 3,
     random_state: int = 42,
+    head_overrides: dict | None = None,
 ) -> tuple[Any, dict]:
     """SMOTE -> scale -> fit -> metric bundle (reference C17)."""
     n_classes = len(class_names) if class_names else int(max(y_train.max(), y_test.max())) + 1
@@ -110,6 +116,7 @@ def train_balanced_model(
     model = make_classifier(
         classifier_type, X_train.shape[1], n_classes,
         class_weight="balanced", random_state=random_state,
+        head_overrides=head_overrides,
     )
     logger.info("training %s on %d samples x %d dims", classifier_type, *X_train.shape)
     model.fit(X_train, np.asarray(y_train))
@@ -147,14 +154,16 @@ def train_improved_models(
     smote_k_neighbors: int = 5,
     random_state: int = 42,
     model_names: tuple[str, ...] = GRID_MODELS,
+    include_smote: bool = True,
 ) -> dict[str, dict]:
     """{Original, SMOTE} x model grid, skipping Weighted-on-SMOTE (C18)."""
     n_classes = len(class_names) if class_names else int(max(y_train.max(), y_test.max())) + 1
     datasets = {"Original": (X_train, y_train)}
-    Xs, ys = apply_smote_oversampling(
-        X_train, y_train, k_neighbors=smote_k_neighbors, random_state=random_state
-    )
-    datasets["SMOTE"] = (Xs, ys)
+    if include_smote:
+        Xs, ys = apply_smote_oversampling(
+            X_train, y_train, k_neighbors=smote_k_neighbors, random_state=random_state
+        )
+        datasets["SMOTE"] = (Xs, ys)
 
     results: dict[str, dict] = {}
     for data_name, (Xd, yd) in datasets.items():

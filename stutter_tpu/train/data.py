@@ -1,0 +1,71 @@
+"""Training data preparation (reference C16).
+
+``prepare_data`` (``model_training_01.py:420-452``): align metadata labels
+with embedding rows (dropping rows with missing labels), build label<->index
+maps. The train/test slicing is POSITIONAL over the loader's
+train -> test -> devel vstack order (``model_training_01.py:781-789`` slices
+``emb[:n_train]`` / ``emb[n_train:]``); ``positional_split`` makes that
+contract explicit. The reference treats test+devel together as the eval set
+(``model_training_01.py:719-728``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from stutter_tpu.utils.logging import get_logger
+
+logger = get_logger("train.data")
+
+
+def build_label_maps(labels) -> tuple[dict, dict]:
+    classes = sorted(pd.unique(pd.Series(labels).dropna()), key=str)
+    label_to_idx = {c: i for i, c in enumerate(classes)}
+    idx_to_label = {i: c for c, i in label_to_idx.items()}
+    return label_to_idx, idx_to_label
+
+
+def prepare_data(
+    metadata: pd.DataFrame,
+    embeddings: np.ndarray,
+    label_to_idx: dict | None = None,
+) -> tuple[np.ndarray, np.ndarray, dict, dict]:
+    """Return (X, y, label_to_idx, idx_to_label) for valid-label rows."""
+    if len(metadata) != len(embeddings):
+        logger.warning(
+            "metadata rows (%d) != embedding rows (%d); truncating to min",
+            len(metadata), len(embeddings),
+        )
+        n = min(len(metadata), len(embeddings))
+        metadata = metadata.iloc[:n]
+        embeddings = embeddings[:n]
+
+    valid = metadata["label"].notna().to_numpy()
+    if label_to_idx is None:
+        label_to_idx, idx_to_label = build_label_maps(metadata["label"])
+    else:
+        idx_to_label = {i: c for c, i in label_to_idx.items()}
+
+    X = np.asarray(embeddings)[valid]
+    y = metadata.loc[valid, "label"].map(label_to_idx).to_numpy(dtype=np.int64)
+    logger.info("prepared %d samples, %d classes", len(y), len(label_to_idx))
+    return X, y, label_to_idx, idx_to_label
+
+
+def positional_split(
+    metadata: pd.DataFrame, embeddings: np.ndarray
+) -> tuple[pd.DataFrame, np.ndarray, pd.DataFrame, np.ndarray]:
+    """Split loader output by split column using the positional contract.
+
+    train rows form the training set; test+devel rows form the eval set
+    (reference model_training_01.py:719-728,781-789).
+    """
+    splits = metadata["split"].to_numpy()
+    train_mask = splits == "train"
+    n_train = int(train_mask.sum())
+    # the contract: train rows are the leading block
+    assert train_mask[:n_train].all(), "loader order violated: train rows not leading"
+    train_meta = metadata.iloc[:n_train].reset_index(drop=True)
+    eval_meta = metadata.iloc[n_train:].reset_index(drop=True)
+    return train_meta, embeddings[:n_train], eval_meta, embeddings[n_train:]

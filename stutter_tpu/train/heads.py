@@ -175,3 +175,13 @@ class JaxClassifier:
 
     def predict(self, X: np.ndarray) -> np.ndarray:
         return self.predict_proba(X).argmax(axis=-1)
+
+    # joblib/pickle support: params stored as numpy on serialize
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        if state.get("params") is not None:
+            state["params"] = jax.tree.map(np.asarray, state["params"])
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)

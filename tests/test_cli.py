@@ -1,0 +1,97 @@
+"""CLI smoke tests: reference-compatible flags drive the full pipelines."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    from stutter_tpu.audio.synthetic import make_synthetic_corpus
+
+    root = str(tmp_path_factory.mktemp("corpus"))
+    make_synthetic_corpus(root, n_per_split={"train": 10, "test": 4, "devel": 4}, seed=5)
+    return root
+
+
+def test_extract_wavlm_cli(corpus, tmp_path, monkeypatch):
+    """--random_init smoke run with a tiny architecture (monkeypatched preset)."""
+    import stutter_tpu.cli.common as common
+    from stutter_tpu.models import WavLMConfig
+
+    monkeypatch.setattr(
+        WavLMConfig, "base", staticmethod(lambda: WavLMConfig.tiny(32, 2, 4))
+    )
+    from stutter_tpu.cli.extract_wavlm import main
+
+    out = str(tmp_path / "emb" / "wavlm")
+    rc = main([
+        "--data_dir", corpus, "--output_dir", out,
+        "--model_name", "microsoft/wavlm-base", "--random_init",
+        "--audio_budget", "32", "--checkpoint_interval", "6",
+    ])
+    assert rc == 0
+    for split in ("train", "test", "devel"):
+        assert os.path.exists(os.path.join(out, split, "embedding_metadata.csv"))
+        npys = [f for f in os.listdir(os.path.join(out, split)) if f.endswith(".npy")]
+        assert len(npys) == 3  # tiny model: (2,1,0,1) dedupes to 3
+
+    # and train on it through the CLI
+    from stutter_tpu.cli.train import main as train_main
+
+    results = str(tmp_path / "results")
+    rc = train_main([
+        "--embeddings_dir", str(tmp_path / "emb"), "--results_dir", results,
+        "--model_type", "wavlm", "--classifier", "linear",
+        "--no_augmentation", "--smote_k_neighbors", "2", "--head_epochs", "25",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(results, "final_summary.txt"))
+    assert os.path.exists(os.path.join(results, "all_results_comparison.csv"))
+
+
+def test_extract_whisper_cli(corpus, tmp_path, monkeypatch):
+    from stutter_tpu.models import WhisperConfig
+
+    monkeypatch.setattr(
+        WhisperConfig, "base",
+        staticmethod(lambda: WhisperConfig.tiny(d_model=32, layers=2, heads=4)),
+    )
+    from stutter_tpu.cli.extract_whisper import main
+
+    out = str(tmp_path / "emb" / "whisper")
+    rc = main([
+        "--data_dir", corpus, "--output_dir", out,
+        "--model_name", "openai/whisper-base", "--random_init",
+        "--batch_size", "8", "--split", "devel",
+    ])
+    assert rc == 0
+    files = os.listdir(os.path.join(out, "devel"))
+    enc = [f for f in files if f.startswith("encoder_layer_")]
+    dec = [f for f in files if f.startswith("decoder_layer_")]
+    assert len(enc) == 3 and len(dec) == 3
+    arr = np.load(os.path.join(out, "devel", enc[0]))
+    assert arr.shape == (4, 32) and np.isfinite(arr).all()
+
+
+def test_train_cli_rejects_unimplemented(tmp_path):
+    from stutter_tpu.cli.train import main
+
+    rc = main([
+        "--embeddings_dir", str(tmp_path), "--results_dir", str(tmp_path / "r"),
+        "--model_type", "bestrq",
+    ])
+    assert rc == 2
+
+
+def test_grid_cli_bool_flags():
+    from stutter_tpu.cli.train_grid import parse_args
+
+    args = parse_args([
+        "--embeddings_dir", "e", "--results_dir", "r",
+        "--use_smote", "False", "--no_augmentation",
+    ])
+    assert args.use_smote is False  # reference's type=bool bug fixed
+    assert args.use_augmentation is False
+    assert args.use_class_weights is True
