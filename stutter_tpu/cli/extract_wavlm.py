@@ -81,6 +81,7 @@ def main(argv=None) -> int:
         max_batch=args.batch_size,
         batch_multiple=mesh.data_size if mesh else 1,
         max_length_s=args.max_length,
+        frame_align=extractor.frame_align,
     )
     pipe = ExtractionPipeline(extractor, batcher=batcher,
                               checkpoint_interval=args.checkpoint_interval)

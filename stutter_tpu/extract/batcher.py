@@ -58,11 +58,18 @@ class BucketBatcher:
         batch_multiple: int = 1,
         max_length_s: float | None = None,
         decode_threads: int | None = None,
+        frame_align: tuple[int, int, int] | None = None,
     ):
         """audio_budget_s: target audio seconds per device batch (constant-work
         batches). batch_multiple: round batch sizes up to this (mesh data size).
         max_length_s: reference --max_length trim; clips longer than the top
-        bucket are trimmed to it (reference behavior, SURVEY.md §5)."""
+        bucket are trimmed to it (reference behavior, SURVEY.md §5).
+
+        frame_align=(kernel, stride, multiple): snap each bucket's sample
+        count UP so the model's conv-stem frame count is a multiple of
+        `multiple` — misaligned frame counts waste MXU tiles (measured ~60%
+        slower at L=149 vs L=144 on v5e). WavLM geometry is (400, 320, 16).
+        """
         self.target_sr = target_sr
         if max_length_s is not None:
             buckets_s = tuple(b for b in buckets_s if b < max_length_s) + (max_length_s,)
@@ -72,6 +79,17 @@ class BucketBatcher:
         self.min_batch = min_batch
         self.batch_multiple = batch_multiple
         self.decode_threads = decode_threads
+        self.frame_align = frame_align
+
+    def bucket_samples(self, bucket_s: float) -> int:
+        """Padded sample count for a bucket, optionally frame-aligned."""
+        n = int(bucket_s * self.target_sr)
+        if self.frame_align is None:
+            return n
+        k, s, m = self.frame_align
+        frames = max(1, (n - k) // s + 1)
+        frames = ((frames + m - 1) // m) * m
+        return (frames - 1) * s + k
 
     def batch_size_for(self, bucket_s: float) -> int:
         b = max(self.min_batch, min(self.max_batch, int(self.audio_budget_s / bucket_s)))
@@ -95,7 +113,7 @@ class BucketBatcher:
 
     def _make_batch(self, paths: Sequence[str], rows: list[int], bucket_s: float) -> Batch:
         bsz = self.batch_size_for(bucket_s)
-        max_samples = int(bucket_s * self.target_sr)
+        max_samples = self.bucket_samples(bucket_s)
         batch_paths = [paths[r] for r in rows]
         waves, lengths, ok = decode_batch(
             batch_paths, target_sr=self.target_sr, max_samples=max_samples,

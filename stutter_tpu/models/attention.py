@@ -1,0 +1,99 @@
+"""Attention dispatch: Pallas flash kernel on TPU, einsum reference elsewhere.
+
+At Whisper-encoder scale (L=1500, 32 layers) the einsum path materializes
+[B, H, L, L] score/probability tensors several times per layer — pure HBM
+traffic, since the matmul FLOPs are tiny. The Pallas flash kernel
+(jax.experimental.pallas.ops.tpu.flash_attention) streams K/V blocks through
+VMEM with an online softmax, so the L x L matrices never touch HBM.
+
+Sequence lengths are padded up to the kernel's block multiple and padded keys
+masked via SegmentIds; padded query rows are garbage and sliced off (callers
+always mask/pool over true lengths anyway).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+
+def _flash_available() -> bool:
+    if os.environ.get("STUTTER_TPU_NO_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu" or jax.default_backend() == "axon"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def flash_mha(
+    q: jax.Array,  # [B, H, Lq, d] (pre-scaled)
+    k: jax.Array,  # [B, H, Lk, d]
+    v: jax.Array,  # [B, H, Lk, d]
+    kv_valid: jax.Array | None = None,  # [B] true key counts (None = all)
+    block: int = 512,
+) -> jax.Array:
+    """Flash attention with sm_scale=1 and optional key-padding masking."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    B, H, Lq, d = q.shape
+    Lk = k.shape[2]
+    Lq_p, Lk_p = _round_up(Lq, block), _round_up(Lk, block)
+
+    def pad_seq(t, L_p):
+        L = t.shape[2]
+        if L == L_p:
+            return t
+        return jnp.pad(t, ((0, 0), (0, 0), (0, L_p - L), (0, 0)))
+
+    qp, kp, vp = pad_seq(q, Lq_p), pad_seq(k, Lk_p), pad_seq(v, Lk_p)
+
+    # segment ids: real tokens are segment 1, padding segment 0 (padding keys
+    # then never match real queries)
+    if kv_valid is None:
+        kv_ids = (jnp.arange(Lk_p)[None, :] < Lk).astype(jnp.int32)
+        kv_ids = jnp.broadcast_to(kv_ids, (B, Lk_p))
+    else:
+        kv_ids = (jnp.arange(Lk_p)[None, :] < kv_valid[:, None]).astype(jnp.int32)
+    q_ids = jnp.ones((B, Lq_p), jnp.int32)
+
+    bs = BlockSizes(
+        block_q=min(block, Lq_p), block_k_major=min(block, Lk_p),
+        block_k=min(block, Lk_p), block_b=1,
+    )
+    out = flash_attention(
+        qp, kp, vp, segment_ids=SegmentIds(q=q_ids, kv=kv_ids),
+        causal=False, sm_scale=1.0, block_sizes=bs,
+    )
+    return out[:, :, :Lq, :]
+
+
+def mha_self(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_valid: jax.Array | None = None,
+    precision=jax.lax.Precision.DEFAULT,
+) -> jax.Array:
+    """Self/cross attention [B, H, Lq, d] x [B, H, Lk, d] -> [B, H, Lq, d].
+
+    q must be pre-scaled. Dispatches to the flash kernel on TPU when the
+    sequence is long enough to benefit; einsum elsewhere.
+    """
+    Lq, Lk = q.shape[2], k.shape[2]
+    if _flash_available() and Lk >= 512 and q.shape[-1] >= 64:
+        return flash_mha(q, k, v, kv_valid=kv_valid)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=precision).astype(jnp.float32)
+    if kv_valid is not None:
+        mask = jnp.arange(Lk)[None, :] < kv_valid[:, None]
+        logits = logits + jnp.where(mask, 0.0, -1e9)[:, None, None, :]
+    attn = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", attn, v, precision=precision)

@@ -72,6 +72,16 @@ class WavLMConfig:
     def head_dim(self) -> int:
         return self.hidden_size // self.num_attention_heads
 
+    @property
+    def stem_geometry(self) -> tuple[int, int]:
+        """(receptive_field, stride) of the conv stem in samples (400, 320
+        for the standard 7-layer stem) — used for frame-aligned bucketing."""
+        k_eff, s_eff = 1, 1
+        for k, s in zip(self.conv_kernel, self.conv_stride):
+            k_eff += (k - 1) * s_eff
+            s_eff *= s
+        return k_eff, s_eff
+
     @staticmethod
     def base() -> "WavLMConfig":
         return WavLMConfig()
@@ -166,6 +176,7 @@ def conv_feature_encoder(
     cfg: WavLMConfig,
     precision,
     sample_lengths: jax.Array | None = None,
+    compute_dtype=jnp.float32,
 ) -> jax.Array:
     """Raw wave [B, T] -> frames [B, L, conv_dim[-1]] at ~49 Hz.
 
@@ -180,16 +191,19 @@ def conv_feature_encoder(
     frames are re-zeroed (otherwise padding leaks into the stats and batched
     != per-clip).
     """
-    x = waveform[:, None, :].astype(jnp.float32)  # NCH
+    # the stem is ~40% of total FLOPs at large scale; run its convs in the
+    # activation dtype (bf16 fast preset) with norm statistics kept in f32
+    x = waveform[:, None, :]  # NCH
     lengths = sample_lengths
     for i, layer in enumerate(params["conv_layers"]):
         x = jax.lax.conv_general_dilated(
-            x,
-            layer["w"],  # [out, in, k] torch OIH layout
+            x.astype(compute_dtype),
+            layer["w"].astype(compute_dtype),  # [out, in, k] torch OIH layout
             window_strides=(cfg.conv_stride[i],),
             padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
             precision=precision,
+            preferred_element_type=jnp.float32,
         )
         if layer.get("b") is not None:
             x = x + layer["b"][None, :, None]
@@ -236,15 +250,16 @@ def pos_conv_embedding(params: Params, x: jax.Array, cfg: WavLMConfig, precision
     k = cfg.num_conv_pos_embeddings
     xc = jnp.swapaxes(x, 1, 2)  # [B, C, L]
     y = jax.lax.conv_general_dilated(
-        xc.astype(jnp.float32),
-        params["w"],  # [out, in/groups, k]
+        xc,
+        params["w"].astype(x.dtype),  # [out, in/groups, k]
         window_strides=(1,),
         padding=[(k // 2, k // 2)],
         dimension_numbers=("NCH", "OIH", "NCH"),
         feature_group_count=cfg.num_conv_pos_embedding_groups,
         precision=precision,
+        preferred_element_type=jnp.float32,
     )
-    y = y + params["b"][None, :, None]
+    y = y + params["b"].astype(jnp.float32)[None, :, None]
     if k % 2 == 0:  # SamePad removes the trailing element
         y = y[:, :, :-1]
     y = _gelu(y)
@@ -392,7 +407,8 @@ def wavlm_forward(
     Returns (last_hidden, all_hidden [N+1, B, L, D], frame_lengths [B]).
     """
     feats = conv_feature_encoder(
-        params["feature_encoder"], waveform, cfg, precision, sample_lengths=sample_lengths
+        params["feature_encoder"], waveform, cfg, precision,
+        sample_lengths=sample_lengths, compute_dtype=activation_dtype,
     )
     feats = layer_norm(feats, params["feature_projection"]["ln"], cfg.layer_norm_eps)
     hidden = (

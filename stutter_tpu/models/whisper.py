@@ -101,7 +101,13 @@ def _gelu(x):
 
 
 def _attention(q_in, kv_in, p, prefix, num_heads, precision, causal=False):
-    """Whisper MHA: q scaled after projection, k_proj bias-free."""
+    """Whisper MHA: q scaled after projection, k_proj bias-free.
+
+    Non-causal full-sequence attention (the encoder's 1500-position case)
+    routes through the Pallas flash kernel on TPU (models/attention.py) —
+    the [B, H, 1500, 1500] score tensor never hits HBM. The 1-token decoder
+    steps stay on the einsum path.
+    """
     B, Lq, D = q_in.shape
     Lk = kv_in.shape[1]
     hd = D // num_heads
@@ -116,14 +122,19 @@ def _attention(q_in, kv_in, p, prefix, num_heads, precision, causal=False):
     def heads(t, L):
         return t.reshape(B, L, num_heads, hd).transpose(0, 2, 1, 3)
 
-    logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", heads(q, Lq), heads(k, Lk), precision=precision
-    ).astype(jnp.float32)
-    if causal and Lq > 1:
-        mask = np.triu(np.full((Lq, Lk), -1e9, np.float32), k=1)
-        logits = logits + jnp.asarray(mask)[None, None]
-    attn = jax.nn.softmax(logits, axis=-1).astype(q_in.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, heads(v, Lk), precision=precision)
+    if not causal:
+        from stutter_tpu.models.attention import mha_self
+
+        out = mha_self(heads(q, Lq), heads(k, Lk), heads(v, Lk), precision=precision)
+    else:
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", heads(q, Lq), heads(k, Lk), precision=precision
+        ).astype(jnp.float32)
+        if Lq > 1:
+            mask = np.triu(np.full((Lq, Lk), -1e9, np.float32), k=1)
+            logits = logits + jnp.asarray(mask)[None, None]
+        attn = jax.nn.softmax(logits, axis=-1).astype(q_in.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, heads(v, Lk), precision=precision)
     out = out.transpose(0, 2, 1, 3).reshape(B, Lq, D)
     return jnp.einsum("bld,de->ble", out, p[f"{prefix}_o_w"], precision=precision) + p[f"{prefix}_o_b"]
 
@@ -152,19 +163,23 @@ def whisper_encoder_forward(
     modeling_whisper.py:668-672).
     """
     enc = params["encoder"]
-    x = input_features.astype(jnp.float32)
+    # stem convs run in the activation dtype with f32 accumulation
+    x = input_features.astype(activation_dtype)
     x = jax.lax.conv_general_dilated(
-        x, enc["conv1_w"], window_strides=(1,), padding=[(1, 1)],
+        x, enc["conv1_w"].astype(activation_dtype), window_strides=(1,), padding=[(1, 1)],
         dimension_numbers=("NCH", "OIH", "NCH"), precision=precision,
-    ) + enc["conv1_b"][None, :, None]
+        preferred_element_type=jnp.float32,
+    ) + enc["conv1_b"].astype(jnp.float32)[None, :, None]
     x = _gelu(x)
     x = jax.lax.conv_general_dilated(
-        x, enc["conv2_w"], window_strides=(2,), padding=[(1, 1)],
+        x.astype(activation_dtype), enc["conv2_w"].astype(activation_dtype),
+        window_strides=(2,), padding=[(1, 1)],
         dimension_numbers=("NCH", "OIH", "NCH"), precision=precision,
-    ) + enc["conv2_b"][None, :, None]
+        preferred_element_type=jnp.float32,
+    ) + enc["conv2_b"].astype(jnp.float32)[None, :, None]
     x = _gelu(x)
     x = jnp.swapaxes(x, 1, 2)  # [B, 1500, D]
-    x = (x + enc["pos_embed"][None]).astype(activation_dtype)
+    x = (x + enc["pos_embed"][None].astype(jnp.float32)).astype(activation_dtype)
 
     eps = cfg.layer_norm_eps
     nh = cfg.encoder_attention_heads
