@@ -97,6 +97,9 @@ def main() -> None:
 
     audio_s = batch * (n_samples / sr) * iters
     throughput = audio_s / wall
+
+    whisper_tp = _whisper_encoder_throughput()
+
     result = {
         "metric": "wavlm_large_extraction_throughput",
         "value": round(throughput, 2),
@@ -106,9 +109,49 @@ def main() -> None:
         "fidelity_cosine_distance_fast_vs_f32": fidelity,
         "batch": batch,
         "clip_seconds": clip_s,
+        "whisper_large_encoder_audio_sec_per_sec": whisper_tp,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
+
+
+def _whisper_encoder_throughput(batch: int = 8, iters: int = 5) -> float:
+    """Secondary headline: whisper-large encoder path (30 s mel per clip)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from stutter_tpu.extract.pipeline import cast_params_for_preset
+    from stutter_tpu.models import WhisperConfig, init_whisper_params
+    from stutter_tpu.models.whisper import whisper_encoder_forward
+    from stutter_tpu.ops.logmel_pallas import whisper_log_mel_pallas
+
+    cfg = WhisperConfig.large()
+    params = cast_params_for_preset(init_whisper_params(jax.random.key(0), cfg), "fast")
+
+    def fn(p, waves):
+        mel = whisper_log_mel_pallas(waves)
+        _, states = whisper_encoder_forward(
+            p, mel, cfg, jax.lax.Precision.DEFAULT, jnp.bfloat16
+        )
+        sel = states[jnp.asarray((cfg.encoder_layers, cfg.encoder_layers - 1,
+                                  cfg.encoder_layers - 2))]
+        return jnp.mean(sel.astype(jnp.float32), axis=2)
+
+    f = jax.jit(fn)
+    rs = np.random.RandomState(0)
+    waves = jax.device_put((rs.randn(batch, 480000) * 0.1).astype(np.float32))
+    np.asarray(f(params, waves))
+    t0 = time.perf_counter()
+    prev = f(params, waves)
+    for _ in range(iters - 1):
+        cur = f(params, waves)
+        np.asarray(prev)
+        prev = cur
+    np.asarray(prev)
+    wall = time.perf_counter() - t0
+    return round(batch * 30.0 * iters / wall, 2)
 
 
 if __name__ == "__main__":

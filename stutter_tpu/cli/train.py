@@ -18,7 +18,10 @@ from stutter_tpu.cli.common import add_mesh_args, build_mesh, load_wavlm_model, 
 from stutter_tpu.utils.logging import setup_logging
 
 MODEL_TYPES = ["whisper", "wavlm", "wavlm_large", "bestrq", "combined", "whisper_large_fixed"]
-UNIMPLEMENTED = {"bestrq", "combined"}  # reference accepts these but has no branch
+# the reference accepts 'bestrq' and 'combined' but implements neither
+# (model_training_01.py:49-51 vs :737-753); 'combined' IS implemented here
+# (multi-model fusion store, extract/store.py); bestrq remains a clear error
+UNIMPLEMENTED = {"bestrq"}
 
 
 def parse_args(argv=None):
@@ -72,9 +75,9 @@ def main(argv=None) -> int:
             args.model_type, sorted(set(MODEL_TYPES) - UNIMPLEMENTED),
         )
         return 2
-    if args.split != "predefined":
-        logger.error("only predefined splits are supported (reference parity: "
-                     "model_training_01.py:92-94 exits likewise)")
+    if args.split not in ("predefined", "train_test"):
+        logger.error("--split must be 'predefined' or 'train_test' (the "
+                     "reference accepts 'all' but has no implementation)")
         return 2
 
     from stutter_tpu.train.trainer import TrainConfig, run_balanced_training
@@ -97,6 +100,8 @@ def main(argv=None) -> int:
         augmentation_factor=0 if args.no_augmentation else args.augmentation_factor,
         minority_threshold=args.minority_threshold,
         head_overrides={"epochs": args.head_epochs},
+        split=args.split,
+        test_size=args.test_size,
     )
     try:
         best = run_balanced_training(cfg, extractor=extractor)

@@ -85,6 +85,8 @@ def main(argv=None) -> int:
         smote_k_neighbors=args.smote_k_neighbors,
         augmentation_factor=args.augmentation_factor if args.use_augmentation else 0,
         minority_threshold=args.minority_threshold,
+        split=args.split,
+        test_size=args.test_size,
     )
     try:
         best = run_grid_training(cfg, extractor=extractor, model_names=tuple(model_names))

@@ -58,6 +58,64 @@ def save_embeddings(
         logger.info("saved %s embeddings with shape %s", col, arr.shape)
 
 
+def load_embeddings_combined(
+    embeddings_dir: str,
+    parts: tuple[str, ...] = ("wavlm", "whisper"),
+    splits: tuple[str, ...] = SPLIT_ORDER,
+) -> tuple[pd.DataFrame | None, dict[str, np.ndarray]]:
+    """Multi-model fusion store: align rows by (filename, split), expose each
+    part's layers prefixed plus a concatenated top-layer feature.
+
+    The reference CLI accepts ``--model_type combined`` but has no
+    implementation (``model_training_01.py:49-51`` vs ``:737-753``); this is
+    the working version.
+    """
+    metas, layer_sets = [], []
+    for part in parts:
+        meta, layers = load_embeddings(embeddings_dir, part, splits)
+        if meta is None or not layers:
+            logger.error("combined store: missing part %r under %s", part, embeddings_dir)
+            return None, {}
+        metas.append(meta)
+        layer_sets.append(layers)
+
+    # align on the first part's row order
+    base = metas[0].copy()
+    base["_row"] = np.arange(len(base))
+    out_layers: dict[str, np.ndarray] = {
+        f"{parts[0]}_{k}": v for k, v in layer_sets[0].items()
+    }
+    keep = np.ones(len(base), bool)
+    for part, meta, layers in zip(parts[1:], metas[1:], layer_sets[1:]):
+        meta = meta.copy()
+        meta["_other_row"] = np.arange(len(meta))
+        joined = base.merge(meta[["filename", "split", "_other_row"]],
+                            on=["filename", "split"], how="left")
+        matched = joined["_other_row"].notna().to_numpy()
+        keep &= matched
+        idx = joined["_other_row"].fillna(0).to_numpy(np.int64)
+        for k, v in layers.items():
+            out_layers[f"{part}_{k}"] = v[idx]
+    if not keep.all():
+        logger.warning("combined store: dropping %d rows missing in some part",
+                       int((~keep).sum()))
+        base = base[keep].reset_index(drop=True)
+        out_layers = {k: v[keep] for k, v in out_layers.items()}
+
+    # concatenated top-layer fusion feature
+    def top_key(part_idx: int) -> str:
+        ls = layer_sets[part_idx]
+        def num(k):
+            tail = k.rsplit("_", 1)[-1]
+            return int(tail) if tail.isdigit() else -1
+        pref = [k for k in ls if not k.startswith("decoder_")] or list(ls)
+        return max(pref, key=num)
+
+    tops = [out_layers[f"{p}_{top_key(i)}"] for i, p in enumerate(parts)]
+    out_layers["combined_top"] = np.hstack(tops)
+    return base.drop(columns=["_row"]), out_layers
+
+
 def load_embeddings(
     embeddings_dir: str,
     model_type: str,

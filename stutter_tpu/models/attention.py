@@ -76,6 +76,40 @@ def flash_mha(
     return out[:, :, :Lq, :]
 
 
+def flash_mha_bias(
+    q: jax.Array,  # [B, H, L, d] (pre-scaled)
+    k: jax.Array,
+    v: jax.Array,
+    ab: jax.Array,  # [B, H, L, L] f32 additive bias (mask folded in)
+    block: int = 512,
+) -> jax.Array:
+    """Flash attention with a materialized additive bias (WavLM gated
+    relative-position bias). The bias is read once per block instead of the
+    einsum path's multiple [L, L] round trips."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention,
+    )
+
+    B, H, L, d = q.shape
+    L_p = _round_up(L, block)
+    if L_p != L:
+        pad = L_p - L
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        # padded keys masked for every query; padded queries produce garbage
+        # rows that callers slice off
+        ab = jnp.pad(ab, ((0, 0), (0, 0), (0, pad), (0, pad)),
+                     constant_values=-1e9)
+    bs = BlockSizes(
+        block_q=min(block, L_p), block_k_major=min(block, L_p),
+        block_k=min(block, L_p), block_b=1,
+    )
+    out = flash_attention(q, k, v, ab=ab, causal=False, sm_scale=1.0, block_sizes=bs)
+    return out[:, :, :L, :]
+
+
 def mha_self(
     q: jax.Array,
     k: jax.Array,

@@ -67,6 +67,12 @@ class WavLMConfig:
     layer_norm_eps: float = 1e-5
     # frontend policy (HF preprocessor_config.json per checkpoint)
     do_normalize: bool = False
+    # SpecAugment (training only; HF modeling_wavlm.py:1004-1048)
+    apply_spec_augment: bool = True
+    mask_time_prob: float = 0.05
+    mask_time_length: int = 10
+    mask_feature_prob: float = 0.0
+    mask_feature_length: int = 10
 
     @property
     def head_dim(self) -> int:
@@ -302,12 +308,22 @@ def gated_relpos_attention(
     v = heads(jnp.einsum("bld,de->ble", x, layer["v_w"], precision=precision) + layer["v_b"])
 
     scale = hd**-0.5
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k, precision=precision)
-    logits = logits.astype(jnp.float32) + gated_bias
-    if key_mask_bias is not None:
-        logits = logits + key_mask_bias
-    attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, precision=precision)
+    from stutter_tpu.models.attention import _flash_available, flash_mha_bias
+
+    if _flash_available() and L >= 512 and hd >= 64:
+        # long buckets: stream K/V through VMEM; bias read once per block
+        ab = gated_bias
+        if key_mask_bias is not None:
+            ab = ab + key_mask_bias
+        ab = jnp.broadcast_to(ab, (B, H, L, L))
+        out = flash_mha_bias(q * scale, k, v, ab)
+    else:
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k, precision=precision)
+        logits = logits.astype(jnp.float32) + gated_bias
+        if key_mask_bias is not None:
+            logits = logits + key_mask_bias
+        attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, precision=precision)
     out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
     return jnp.einsum("bld,de->ble", out, layer["o_w"], precision=precision) + layer["o_b"]
 
@@ -398,11 +414,15 @@ def wavlm_forward(
     sample_lengths: jax.Array | None = None,
     precision=jax.lax.Precision.HIGHEST,
     activation_dtype=jnp.float32,
+    spec_augment_rng: jax.Array | None = None,
 ):
     """Full WavLM forward with all hidden states (WavLMModel.forward parity).
 
     waveform: [B, T] float32 (already frontend-normalized if the checkpoint
     says so). sample_lengths: true sample counts for padded batches.
+    spec_augment_rng enables training-time SpecAugment masking (HF
+    _mask_hidden_states; inference passes None, matching the reference's
+    no-op at WavLM_embeddings.py inference calls).
 
     Returns (last_hidden, all_hidden [N+1, B, L, D], frame_lengths [B]).
     """
@@ -422,6 +442,16 @@ def wavlm_forward(
     frame_lengths = None
     if sample_lengths is not None:
         frame_lengths = wavlm_feature_lengths(cfg, sample_lengths)
+
+    if spec_augment_rng is not None and cfg.apply_spec_augment:
+        from stutter_tpu.ops.specaugment import spec_augment
+
+        hidden = spec_augment(
+            spec_augment_rng, hidden, frame_lengths,
+            cfg.mask_time_prob, cfg.mask_time_length,
+            cfg.mask_feature_prob, cfg.mask_feature_length,
+            params.get("masked_spec_embed"),
+        )
     last, all_hidden = wavlm_encoder(params["encoder"], hidden, frame_lengths, cfg, precision)
     if frame_lengths is None:
         frame_lengths = jnp.full((waveform.shape[0],), hidden.shape[1], dtype=jnp.int32)
@@ -505,6 +535,7 @@ def init_wavlm_params(rng: jax.Array, cfg: WavLMConfig, dtype=jnp.float32) -> Pa
     pos_k = cfg.num_conv_pos_embeddings
     pos_in = D // cfg.num_conv_pos_embedding_groups
     return {
+        "masked_spec_embed": jax.random.uniform(next(keys), (D,), dtype),
         "feature_encoder": {"conv_layers": conv_layers},
         "feature_projection": {
             "ln": {"scale": jnp.ones((cfg.conv_dim[-1],), dtype), "bias": jnp.zeros((cfg.conv_dim[-1],), dtype)},

@@ -54,6 +54,27 @@ class MeshPlan:
         return ((n + d - 1) // d) * d
 
 
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host bring-up: one call per host before building the mesh.
+
+    Wraps ``jax.distributed.initialize`` (auto-detecting on TPU pods);
+    afterwards ``jax.devices()`` spans all hosts and the same ``make_mesh``
+    code runs global-SPMD — cross-host traffic rides DCN transparently via
+    XLA collectives (SURVEY.md §5 "distributed communication backend").
+    """
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(
     devices: list | None = None,
     data: int | None = None,

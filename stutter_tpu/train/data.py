@@ -53,6 +53,32 @@ def prepare_data(
     return X, y, label_to_idx, idx_to_label
 
 
+def stratified_split(
+    metadata: pd.DataFrame,
+    embeddings: np.ndarray,
+    test_size: float = 0.2,
+    seed: int = 42,
+) -> tuple[pd.DataFrame, np.ndarray, pd.DataFrame, np.ndarray]:
+    """Manual stratified train/test split (the reference's ``--split
+    train_test`` mode, which its loader accepts but never implements —
+    ``model_training_01.py:136-138`` errors out; implemented properly here).
+    """
+    rng = np.random.RandomState(seed)
+    labels = metadata["label"].fillna("__nan__").to_numpy()
+    test_idx: list[int] = []
+    for cls in pd.unique(labels):
+        idx = np.flatnonzero(labels == cls)
+        rng.shuffle(idx)
+        n_test = max(1, int(round(len(idx) * test_size))) if len(idx) > 1 else 0
+        test_idx.extend(idx[:n_test])
+    test_mask = np.zeros(len(metadata), bool)
+    test_mask[test_idx] = True
+    train_meta = metadata[~test_mask].reset_index(drop=True)
+    test_meta = metadata[test_mask].reset_index(drop=True)
+    logger.info("stratified split: %d train / %d test", len(train_meta), len(test_meta))
+    return train_meta, embeddings[~test_mask], test_meta, embeddings[test_mask]
+
+
 def positional_split(
     metadata: pd.DataFrame, embeddings: np.ndarray
 ) -> tuple[pd.DataFrame, np.ndarray, pd.DataFrame, np.ndarray]:

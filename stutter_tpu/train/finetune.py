@@ -75,6 +75,9 @@ def finetune_forward(
 ) -> jax.Array:
     """[B, T] padded waves + [B] lengths -> [B, n_classes] logits."""
     x = wavlm_prepare_batch(waves, lengths, cfg.model.do_normalize)
+    sa_rng = None
+    if train and rng is not None and cfg.model.apply_spec_augment:
+        rng, sa_rng = jax.random.split(rng)
     fwd = wavlm_forward
     if cfg.remat_encoder:
         fwd = jax.checkpoint(
@@ -84,7 +87,7 @@ def finetune_forward(
         )
     _, all_hidden, frame_lengths = fwd(
         params["backbone"], x, cfg.model, lengths,
-        cfg.precision, cfg.activation_dtype,
+        cfg.precision, cfg.activation_dtype, sa_rng,
     )
     w = jax.nn.softmax(params["layer_weights"])
     feats = jnp.einsum("s,sbld->bld", w, all_hidden.astype(jnp.float32))

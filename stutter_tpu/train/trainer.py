@@ -18,7 +18,7 @@ import os
 
 import numpy as np
 
-from stutter_tpu.extract.store import load_embeddings
+from stutter_tpu.extract.store import load_embeddings, load_embeddings_combined
 from stutter_tpu.report.plots import (
     plot_confusion_matrices,
     plot_grid_comparison,
@@ -37,7 +37,7 @@ from stutter_tpu.train.classifiers import (
     train_balanced_model,
     train_improved_models,
 )
-from stutter_tpu.train.data import positional_split, prepare_data
+from stutter_tpu.train.data import positional_split, prepare_data, stratified_split
 from stutter_tpu.train.persistence import save_model, save_results
 from stutter_tpu.train.quality import analyze_class_distribution, check_data_quality
 from stutter_tpu.utils.logging import get_logger
@@ -58,6 +58,30 @@ class TrainConfig:
     random_state: int = 42
     make_plots: bool = True
     head_overrides: dict | None = None  # HeadConfig fields for JAX heads
+    split: str = "predefined"  # "predefined" | "train_test"
+    test_size: float = 0.2
+
+
+def _split_store(cfg: TrainConfig, metadata, embeddings, layer_names):
+    """(train_meta, eval_meta, train_emb{}, eval_emb{}) per the split mode."""
+    first = layer_names[0]
+    if cfg.split == "train_test":
+        train_meta, _, eval_meta, _ = stratified_split(
+            metadata, embeddings[first], cfg.test_size, cfg.random_state
+        )
+        # stratified_split masks rows; recompute the mask to slice all layers
+        test_paths = set(eval_meta["path"]) if "path" in eval_meta else None
+        if test_paths is not None:
+            mask = metadata["path"].isin(test_paths).to_numpy()
+        else:
+            mask = metadata.index.isin(eval_meta.index).to_numpy()
+        train_embeddings = {k: v[~mask] for k, v in embeddings.items()}
+        eval_embeddings = {k: v[mask] for k, v in embeddings.items()}
+        return train_meta, eval_meta, train_embeddings, eval_embeddings
+    train_meta, _, eval_meta, _ = positional_split(metadata, embeddings[first])
+    train_embeddings = {k: v[: len(train_meta)] for k, v in embeddings.items()}
+    eval_embeddings = {k: v[len(train_meta):] for k, v in embeddings.items()}
+    return train_meta, eval_meta, train_embeddings, eval_embeddings
 
 
 def _layer_sort_key(name: str):
@@ -65,9 +89,15 @@ def _layer_sort_key(name: str):
     return (parts[0], int(parts[1]) if parts[-1].isdigit() else 0)
 
 
+def _load_store(cfg: TrainConfig):
+    if cfg.model_type == "combined":
+        return load_embeddings_combined(cfg.embeddings_dir)
+    return load_embeddings(cfg.embeddings_dir, cfg.model_type)
+
+
 def run_balanced_training(cfg: TrainConfig, extractor=None) -> dict:
     """The model_training_01 pipeline. Returns {layer: best-result dict}."""
-    metadata, embeddings = load_embeddings(cfg.embeddings_dir, cfg.model_type)
+    metadata, embeddings = _load_store(cfg)
     if metadata is None or not embeddings:
         raise FileNotFoundError(
             f"no embeddings found for {cfg.model_type} under {cfg.embeddings_dir}"
@@ -75,10 +105,9 @@ def run_balanced_training(cfg: TrainConfig, extractor=None) -> dict:
     os.makedirs(cfg.results_dir, exist_ok=True)
 
     layer_names = sorted(embeddings, key=_layer_sort_key)
-    first = layer_names[0]
-    train_meta, _, eval_meta, _ = positional_split(metadata, embeddings[first])
-    train_embeddings = {k: v[: len(train_meta)] for k, v in embeddings.items()}
-    eval_embeddings = {k: v[len(train_meta):] for k, v in embeddings.items()}
+    train_meta, eval_meta, train_embeddings, eval_embeddings = _split_store(
+        cfg, metadata, embeddings, layer_names
+    )
 
     if cfg.augmentation_factor > 0:
         if extractor is None:
@@ -149,7 +178,7 @@ def run_balanced_training(cfg: TrainConfig, extractor=None) -> dict:
 
 def run_grid_training(cfg: TrainConfig, extractor=None, model_names=GRID_MODELS) -> dict:
     """The model_training_1 pipeline (grid trainer + quality stages)."""
-    metadata, embeddings = load_embeddings(cfg.embeddings_dir, cfg.model_type)
+    metadata, embeddings = _load_store(cfg)
     if metadata is None or not embeddings:
         raise FileNotFoundError(
             f"no embeddings found for {cfg.model_type} under {cfg.embeddings_dir}"
@@ -157,9 +186,9 @@ def run_grid_training(cfg: TrainConfig, extractor=None, model_names=GRID_MODELS)
     os.makedirs(cfg.results_dir, exist_ok=True)
 
     layer_names = sorted(embeddings, key=_layer_sort_key)
-    train_meta, _, eval_meta, _ = positional_split(metadata, embeddings[layer_names[0]])
-    train_embeddings = {k: v[: len(train_meta)] for k, v in embeddings.items()}
-    eval_embeddings = {k: v[len(train_meta):] for k, v in embeddings.items()}
+    train_meta, eval_meta, train_embeddings, eval_embeddings = _split_store(
+        cfg, metadata, embeddings, layer_names
+    )
 
     if cfg.augmentation_factor > 0 and extractor is not None:
         train_meta, train_embeddings = apply_data_augmentation(

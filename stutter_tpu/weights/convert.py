@@ -130,7 +130,7 @@ def convert_wavlm_state_dict(sd: StateDict, cfg: WavLMConfig) -> dict[str, Any]:
             "ln2_s": ln2["scale"], "ln2_b": ln2["bias"],
         })
 
-    return {
+    out: dict[str, Any] = {
         "feature_encoder": {"conv_layers": conv_layers},
         "feature_projection": {
             "ln": _ln(sd, "feature_projection.layer_norm"),
@@ -147,6 +147,9 @@ def convert_wavlm_state_dict(sd: StateDict, cfg: WavLMConfig) -> dict[str, Any]:
             "layers": _stack(layers),
         },
     }
+    if "masked_spec_embed" in sd:  # SpecAugment learned mask vector
+        out["masked_spec_embed"] = _np(sd["masked_spec_embed"]).copy()
+    return out
 
 
 # ---------------------------------------------------------------------------
