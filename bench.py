@@ -85,7 +85,7 @@ def main() -> None:
 
     # steady-state loop mirroring the pipeline: dispatch batch i+1, then fetch
     # batch i's pooled [S, B, D] (~1 MB) — transfer overlaps device compute
-    iters = 10
+    iters = 20
     t0 = time.perf_counter()
     prev = bench_fn(bench_params, waves_d, lengths_d)
     for _ in range(iters - 1):
