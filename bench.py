@@ -36,7 +36,7 @@ def main() -> None:
 
     clip_s = 3.0  # KSF/SEP-28k-style 3 s clips
     sr = 16000
-    batch = 64
+    batch = 128
     # frame-aligned bucket padding, exactly as the extraction pipeline pads
     # (misaligned frame counts waste MXU tiles; see extract/batcher.py)
     from stutter_tpu.extract.batcher import BucketBatcher

@@ -52,7 +52,7 @@ class BucketBatcher:
         self,
         target_sr: int = 16000,
         buckets_s: Sequence[float] = DEFAULT_BUCKETS_S,
-        audio_budget_s: float = 240.0,
+        audio_budget_s: float = 384.0,
         max_batch: int = 128,
         min_batch: int = 1,
         batch_multiple: int = 1,

@@ -154,10 +154,13 @@ class WhisperExtractor:
             from stutter_tpu.frontend.whisper_frontend import whisper_features
 
             mel = whisper_features(waves)
-            enc_last, enc_states = whisper_encoder_forward(params, mel, cfg, **opts)
+            # pool inside the encoder scan — only [N+1, B, D] means are kept
+            enc_last, enc_pooled_all = whisper_encoder_forward(
+                params, mel, cfg, **opts,
+                hidden_reducer=lambda h: jnp.mean(h.astype(jnp.float32), axis=1),
+            )
             _, dec_states = whisper_decoder_step(params, enc_last, 0, cfg, **opts)
-            enc_sel = enc_states[jnp.asarray(self.encoder_indices)]  # [Se, B, L, D]
-            enc_pooled = jnp.mean(enc_sel.astype(jnp.float32), axis=2)  # full-seq mean
+            enc_pooled = enc_pooled_all[jnp.asarray(self.encoder_indices)]
             dec_sel = dec_states[jnp.asarray(self.decoder_indices)][:, :, 0, :]
             return enc_pooled, dec_sel.astype(jnp.float32)
 

@@ -156,11 +156,14 @@ def whisper_encoder_forward(
     cfg: WhisperConfig,
     precision=jax.lax.Precision.HIGHEST,
     activation_dtype=jnp.float32,
+    hidden_reducer=None,
 ):
     """[B, 80, 3000] log-mel -> (last_hidden [B, 1500, D], all_hidden [N+1, ...]).
 
     Input length is a hard contract (HF asserts 3000 mel frames,
-    modeling_whisper.py:668-672).
+    modeling_whisper.py:668-672). hidden_reducer, when given, is applied to
+    every collected hidden state inside the scan (extraction pools there, so
+    the [N+1, B, 1500, D] stack never materializes).
     """
     enc = params["encoder"]
     # stem convs run in the activation dtype with f32 accumulation
@@ -183,20 +186,21 @@ def whisper_encoder_forward(
 
     eps = cfg.layer_norm_eps
     nh = cfg.encoder_attention_heads
+    collect = (lambda h: h) if hidden_reducer is None else hidden_reducer
 
     def body(carry, layer):
         h = _layer_norm(carry, layer["ln1_s"], layer["ln1_b"], eps)
         new = carry + _attention(h, h, layer, "attn", nh, precision)
         h = _layer_norm(new, layer["ln2_s"], layer["ln2_b"], eps)
         out = (new + _ffn(h, layer, precision)).astype(carry.dtype)
-        return out, out
+        return out, collect(carry)  # yield layer INPUT (HF hidden_states[i])
 
     last, states = jax.lax.scan(body, x, enc["layers"])
+    # HF hidden_states: embedding output + each layer's output, with the
+    # final LN applied to the last entry (modeling_whisper.py:697-725);
+    # yielding carries gives entries 0..N-1, the final-LN output is appended.
     last = _layer_norm(last, enc["ln_s"], enc["ln_b"], eps)
-    # HF hidden_states: embedding output + each layer's (pre-final-LN) output,
-    # with the final LN applied to the last entry (modeling_whisper.py:697-725).
-    states = states.at[-1].set(last)
-    all_hidden = jnp.concatenate([x[None], states], axis=0)
+    all_hidden = jnp.concatenate([states, collect(last)[None]], axis=0)
     return last, all_hidden
 
 
@@ -238,12 +242,11 @@ def whisper_decoder_step(
         new = new + _attention(h, enc_h, layer, "xattn", nh, precision)
         h = _layer_norm(new, layer["ln3_s"], layer["ln3_b"], eps)
         out = (new + _ffn(h, layer, precision)).astype(carry.dtype)
-        return out, out
+        return out, carry  # yield layer INPUT (HF hidden_states[i])
 
     last, states = jax.lax.scan(body, x, dec["layers"])
     last = _layer_norm(last, dec["ln_s"], dec["ln_b"], eps)
-    states = states.at[-1].set(last)
-    all_hidden = jnp.concatenate([x[None], states], axis=0)
+    all_hidden = jnp.concatenate([states, last[None]], axis=0)
     return last, all_hidden
 
 
