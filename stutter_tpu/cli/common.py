@@ -97,15 +97,22 @@ def load_wavlm_model(model_name: str, random_init: bool):
     return load_wavlm(model_name)
 
 
+_WHISPER_SIZES = (
+    ("large-v3", "large_v3"), ("large-v2", "large_v2"), ("large", "large"),
+    ("medium", "medium"), ("small", "small"), ("base", "base"),
+    ("tiny", "tiny_official"),
+)
+
+
 def load_whisper_model(model_name: str, random_init: bool):
     from stutter_tpu.models import WhisperConfig, init_whisper_params
 
     if random_init:
         import jax
 
-        size = "large" if "large" in model_name else "base"
-        cfg = getattr(WhisperConfig, size)()
-        logger.warning("--random_init: using fresh whisper-%s weights", size)
+        preset = next((p for key, p in _WHISPER_SIZES if key in model_name), "base")
+        cfg = getattr(WhisperConfig, preset)()
+        logger.warning("--random_init: using fresh whisper %s weights", preset)
         return cfg, init_whisper_params(jax.random.key(0), cfg)
     from stutter_tpu.weights import load_whisper
 

@@ -153,7 +153,7 @@ class WhisperExtractor:
         def fn(params, waves):
             from stutter_tpu.frontend.whisper_frontend import whisper_features
 
-            mel = whisper_features(waves)
+            mel = whisper_features(waves, n_mels=cfg.num_mel_bins)
             # pool inside the encoder scan — only [N+1, B, D] means are kept
             enc_last, enc_pooled_all = whisper_encoder_forward(
                 params, mel, cfg, **opts,

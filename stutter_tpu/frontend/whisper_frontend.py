@@ -6,6 +6,7 @@ Replaces the reference's per-clip host-side ``WhisperProcessor`` call
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -19,9 +20,11 @@ def _use_pallas() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-@jax.jit
-def whisper_features(waveform: jax.Array) -> jax.Array:
-    """[B, T] float32 (any T) -> [B, 80, 3000] Whisper input features.
+@functools.partial(jax.jit, static_argnames=("n_mels",))
+def whisper_features(waveform: jax.Array, n_mels: int = 80) -> jax.Array:
+    """[B, T] float32 (any T) -> [B, n_mels, 3000] Whisper input features.
+
+    n_mels is 80 for whisper tiny..large-v2, 128 for large-v3.
 
     Zero-pads/trims to exactly 480 000 samples first (HF
     ``feature_extraction_whisper.py:294-302``); zero padding is part of the
@@ -33,5 +36,5 @@ def whisper_features(waveform: jax.Array) -> jax.Array:
     if _use_pallas():
         from stutter_tpu.ops.logmel_pallas import whisper_log_mel_pallas
 
-        return whisper_log_mel_pallas(wave)
-    return log_mel_spectrogram(wave)
+        return whisper_log_mel_pallas(wave, n_mels=n_mels)
+    return log_mel_spectrogram(wave, n_mels=n_mels)

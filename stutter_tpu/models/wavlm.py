@@ -300,8 +300,10 @@ def gated_relpos_attention(
     gates = jax.nn.sigmoid(proj.astype(jnp.float32))
     gate_a, gate_b = gates[..., 0], gates[..., 1]  # [B, H, L]
     const = layer["gru_const"].reshape(1, H, 1)
-    gate = gate_a * (gate_b * const - 1.0) + 2.0
-    gated_bias = gate[..., None] * position_bias[None].astype(jnp.float32)  # [B,H,L,L]
+    gate = gate_a * (gate_b * const - 1.0) + 2.0  # [B, H, L]
+
+    def gated_bias():  # [B, H, L, L] — only materialized on non-fused paths
+        return gate[..., None] * position_bias[None].astype(jnp.float32)
 
     q = heads(jnp.einsum("bld,de->ble", x, layer["q_w"], precision=precision) + layer["q_b"])
     k = heads(jnp.einsum("bld,de->ble", x, layer["k_w"], precision=precision) + layer["k_b"])
@@ -310,16 +312,37 @@ def gated_relpos_attention(
     scale = hd**-0.5
     from stutter_tpu.models.attention import _flash_available, flash_mha_bias
 
-    if _flash_available() and L >= 512 and hd >= 64:
+    use_kernels = _flash_available() and x.dtype == jnp.bfloat16  # fast preset only
+    if use_kernels and L >= 512 and hd >= 64:
         # long buckets: stream K/V through VMEM; bias read once per block
-        ab = gated_bias
+        ab = gated_bias()
         if key_mask_bias is not None:
             ab = ab + key_mask_bias
         ab = jnp.broadcast_to(ab, (B, H, L, L))
         out = flash_mha_bias(q * scale, k, v, ab)
+    elif (
+        use_kernels
+        and L % 8 == 0
+        and __import__("os").environ.get("STUTTER_TPU_FUSED_SHORT_ATTENTION")
+    ):
+        # short buckets: fused kernel (ops/wavlm_attention_pallas.py). Wins
+        # in isolation (2.85 vs 3.38 ms at B=128/L=144) but loses end-to-end
+        # (XLA fuses the einsum logits with neighbors across the attention
+        # boundary; the pallas_call blocks that) — so opt-in only.
+
+        from stutter_tpu.ops.wavlm_attention_pallas import wavlm_fused_attention
+
+        mask2 = (
+            key_mask_bias[:, 0, 0, :]
+            if key_mask_bias is not None
+            else jnp.zeros((B, L), jnp.float32)
+        )
+        out = wavlm_fused_attention(
+            q * scale, k, v, position_bias.astype(jnp.float32), gate, mask2
+        )
     else:
         logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k, precision=precision)
-        logits = logits.astype(jnp.float32) + gated_bias
+        logits = logits.astype(jnp.float32) + gated_bias()
         if key_mask_bias is not None:
             logits = logits + key_mask_bias
         attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)

@@ -65,10 +65,35 @@ class WhisperConfig:
         return WhisperConfig()
 
     @staticmethod
+    def large_v3() -> "WhisperConfig":
+        return WhisperConfig(num_mel_bins=128)
+
+    @staticmethod
+    def medium() -> "WhisperConfig":
+        return WhisperConfig(
+            d_model=1024, encoder_layers=24, encoder_attention_heads=16,
+            decoder_layers=24, decoder_attention_heads=16, ffn_dim=4096,
+        )
+
+    @staticmethod
+    def small() -> "WhisperConfig":
+        return WhisperConfig(
+            d_model=768, encoder_layers=12, encoder_attention_heads=12,
+            decoder_layers=12, decoder_attention_heads=12, ffn_dim=3072,
+        )
+
+    @staticmethod
     def base() -> "WhisperConfig":
         return WhisperConfig(
             d_model=512, encoder_layers=6, encoder_attention_heads=8,
             decoder_layers=6, decoder_attention_heads=8, ffn_dim=2048,
+        )
+
+    @staticmethod
+    def tiny_official() -> "WhisperConfig":
+        return WhisperConfig(
+            d_model=384, encoder_layers=4, encoder_attention_heads=6,
+            decoder_layers=4, decoder_attention_heads=6, ffn_dim=1536,
         )
 
     @staticmethod

@@ -75,12 +75,15 @@ def _padded_basis() -> np.ndarray:
     return np.ascontiguousarray(_dft_basis(WHISPER_N_FFT)[:, 0, :].T)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def whisper_log_mel_pallas(waveform: jax.Array, interpret: bool = False) -> jax.Array:
-    """[B, 480000] float32 -> [B, 80, 3000], fused on-chip.
+@functools.partial(jax.jit, static_argnames=("interpret", "n_mels"))
+def whisper_log_mel_pallas(
+    waveform: jax.Array, interpret: bool = False, n_mels: int = WHISPER_N_MELS
+) -> jax.Array:
+    """[B, 480000] float32 -> [B, n_mels, 3000], fused on-chip.
 
     Numerically equivalent to ops/logmel.whisper_log_mel (tested to 1e-4).
-    interpret=True runs the Pallas interpreter (CPU test path).
+    interpret=True runs the Pallas interpreter (CPU test path). n_mels is 80
+    for whisper <= large-v2, 128 for large-v3.
     """
     B, T = waveform.shape
     assert T == WHISPER_N_SAMPLES, f"whisper contract: 480000 samples, got {T}"
@@ -96,7 +99,7 @@ def whisper_log_mel_pallas(waveform: jax.Array, interpret: bool = False) -> jax.
     r2 = x[:, 2 : n_frames + 2]
 
     basis = jnp.asarray(_padded_basis())  # [400, 402]
-    mel_m = jnp.asarray(_whisper_mel_matrix(n_fft, WHISPER_N_MELS, WHISPER_SR))  # [201, 80]
+    mel_m = jnp.asarray(_whisper_mel_matrix(n_fft, n_mels, WHISPER_SR))  # [201, n_mels]
 
     n_blocks = n_frames // FRAME_BLOCK
     row_spec = pl.BlockSpec(
@@ -111,15 +114,15 @@ def whisper_log_mel_pallas(waveform: jax.Array, interpret: bool = False) -> jax.
             row_spec,
             pl.BlockSpec((n_fft, 2 * (n_fft // 2 + 1)), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft // 2 + 1, WHISPER_N_MELS), lambda b, i: (0, 0),
+            pl.BlockSpec((n_fft // 2 + 1, n_mels), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, FRAME_BLOCK, WHISPER_N_MELS),
+            (1, FRAME_BLOCK, n_mels),
             lambda b, i: (b, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, n_frames, WHISPER_N_MELS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, n_frames, n_mels), jnp.float32),
         interpret=interpret,
     )(r0, r1, r2, basis, mel_m)
 

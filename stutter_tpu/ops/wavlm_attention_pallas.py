@@ -1,0 +1,85 @@
+"""Fused Pallas kernel for WavLM's gated relative-position-bias attention.
+
+For short buckets (the 3 s stutter-clip workload, L~144) the XLA einsum path
+is memory-bound on the [B, H, L, L] float32 logits: the gated bias is
+materialized, added, softmaxed and re-read — several full HBM round trips per
+layer. This kernel runs one (batch, head) tile entirely in VMEM:
+
+    s   = q @ k^T            (MXU, f32 accumulate; q pre-scaled)
+    p   = s + gate * bias_h + key_mask      (VPU, f32)
+    a   = softmax_rows(p)                   (VPU, f32)
+    out = a @ v              (MXU)
+
+Only q/k/v/out ([L, d] tiles) and the per-head shared bias ([L, L], identical
+for the whole batch) cross HBM; the batch-dependent [B, H, L, L] tensor never
+exists. The gate (WavLM's GRU-style per-token scalar) and the key-padding
+mask are tiny [L] vectors applied in-kernel.
+
+Kernel guide: /opt/skills/guides/pallas_guide.md.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, mask_ref, out_ref):
+    q = q_ref[:, 0]  # [BB, L, d] bf16 (pre-scaled)
+    k = k_ref[:, 0]
+    v = v_ref[:, 0]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # [BB, L, L] f32
+    gate = gate_ref[:, 0]  # [BB, L, 1] f32
+    p = s + gate * bias_ref[0][None] + mask_ref[:, 0][:, None, :]
+    p_max = jnp.max(p, axis=-1, keepdims=True)
+    e = jnp.exp(p - p_max)
+    a = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+    out = jax.lax.dot_general(
+        a, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    out_ref[:, 0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def wavlm_fused_attention(
+    q: jax.Array,  # [B, H, L, d] (pre-scaled)
+    k: jax.Array,
+    v: jax.Array,
+    position_bias: jax.Array,  # [H, L, L] f32 (shared across batch)
+    gate: jax.Array,  # [B, H, L] f32
+    key_mask_bias: jax.Array,  # [B, L] f32 (0 valid / -1e9 pad)
+    interpret: bool = False,
+) -> jax.Array:
+    B, H, L, d = q.shape
+    # block 8 clips per step (amortizes per-step pipeline overhead); grid
+    # (H, B-blocks) keeps the per-head bias block constant along the inner
+    # loop so it is fetched once per head
+    BB = 16 if B % 16 == 0 else (8 if B % 8 == 0 else 1)
+    grid = (H, B // BB)
+    qkv_spec = pl.BlockSpec((BB, 1, L, d), lambda h, b: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    # tiling rule: a block's last two dims must be (8, 128)-aligned or span
+    # the full array dim — so gate rides as [B, H, L, 1], mask as [B, 1, L]
+    gate4 = gate[..., None]
+    mask3 = key_mask_bias[:, None, :]
+    return pl.pallas_call(
+        _attn_kernel,
+        grid=grid,
+        in_specs=[
+            qkv_spec,
+            qkv_spec,
+            qkv_spec,
+            pl.BlockSpec((1, L, L), lambda h, b: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, 1, L, 1), lambda h, b: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, 1, L), lambda h, b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, L, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v, position_bias, gate4, mask3)

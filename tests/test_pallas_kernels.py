@@ -17,3 +17,28 @@ def test_pallas_logmel_matches_xla(rng):
     pal = np.asarray(whisper_log_mel_pallas(jnp.asarray(w), interpret=True))
     assert pal.shape == ref.shape == (2, 80, 3000)
     np.testing.assert_allclose(pal, ref, atol=1e-4)
+
+
+def test_fused_wavlm_attention_matches_einsum(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from stutter_tpu.ops.wavlm_attention_pallas import wavlm_fused_attention
+
+    B, H, L, d = 4, 4, 16, 8
+    q = jnp.asarray(rng.randn(B, H, L, d).astype(np.float32) * 0.2)
+    k = jnp.asarray(rng.randn(B, H, L, d).astype(np.float32) * 0.2)
+    v = jnp.asarray(rng.randn(B, H, L, d).astype(np.float32) * 0.2)
+    bias = jnp.asarray(rng.randn(H, L, L).astype(np.float32))
+    gate = jnp.asarray(rng.rand(B, H, L).astype(np.float32))
+    # mask out the tail keys of clip 0
+    mask = np.zeros((B, L), np.float32)
+    mask[0, 10:] = -1e9
+    mask = jnp.asarray(mask)
+
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+    logits = logits + gate[..., None] * bias[None] + mask[:, None, None, :]
+    ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(logits, -1), v)
+
+    out = wavlm_fused_attention(q, k, v, bias, gate, mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
