@@ -74,15 +74,22 @@ def main(argv=None) -> int:
     )
 
     label_by_path = dict(zip(train_meta["path"], y_train))
+    # decode once; epochs reuse the cached padded batches (the host decode
+    # pool is for streaming extraction — training revisits the same clips)
+    cached = []
+    for batch in batcher.batches(list(train_meta["path"])):
+        labels = np.array(
+            [label_by_path.get(p, 0) for p in batch.paths]
+            + [0] * (len(batch.waves) - len(batch.paths)),
+            np.int32,
+        )
+        cached.append((batch.waves, batch.lengths, labels))
+    rng = np.random.RandomState(0)
     for epoch in range(args.epochs):
         losses = []
-        for batch in batcher.batches(list(train_meta["path"])):
-            labels = np.array(
-                [label_by_path.get(p, 0) for p in batch.paths]
-                + [0] * (len(batch.waves) - len(batch.paths)),
-                np.int32,
-            )
-            aux = trainer.step(batch.waves, batch.lengths, labels, class_weights)
+        for i in rng.permutation(len(cached)):
+            waves, lengths, labels = cached[i]
+            aux = trainer.step(waves, lengths, labels, class_weights)
             losses.append(aux["loss"])
         logger.info("epoch %d: mean loss %.4f", epoch, float(np.mean(losses)))
 

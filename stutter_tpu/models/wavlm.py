@@ -202,6 +202,8 @@ def conv_feature_encoder(
     x = waveform[:, None, :]  # NCH
     lengths = sample_lengths
     for i, layer in enumerate(params["conv_layers"]):
+        # no preferred_element_type: it breaks the conv grad transpose with
+        # mixed dtypes (fine-tune path); MXU still accumulates in f32
         x = jax.lax.conv_general_dilated(
             x.astype(compute_dtype),
             layer["w"].astype(compute_dtype),  # [out, in, k] torch OIH layout
@@ -209,8 +211,7 @@ def conv_feature_encoder(
             padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
             precision=precision,
-            preferred_element_type=jnp.float32,
-        )
+        ).astype(jnp.float32)
         if layer.get("b") is not None:
             x = x + layer["b"][None, :, None]
         mask = None
@@ -263,8 +264,7 @@ def pos_conv_embedding(params: Params, x: jax.Array, cfg: WavLMConfig, precision
         dimension_numbers=("NCH", "OIH", "NCH"),
         feature_group_count=cfg.num_conv_pos_embedding_groups,
         precision=precision,
-        preferred_element_type=jnp.float32,
-    )
+    ).astype(jnp.float32)
     y = y + params["b"].astype(jnp.float32)[None, :, None]
     if k % 2 == 0:  # SamePad removes the trailing element
         y = y[:, :, :-1]

@@ -196,15 +196,13 @@ def whisper_encoder_forward(
     x = jax.lax.conv_general_dilated(
         x, enc["conv1_w"].astype(activation_dtype), window_strides=(1,), padding=[(1, 1)],
         dimension_numbers=("NCH", "OIH", "NCH"), precision=precision,
-        preferred_element_type=jnp.float32,
-    ) + enc["conv1_b"].astype(jnp.float32)[None, :, None]
+    ).astype(jnp.float32) + enc["conv1_b"].astype(jnp.float32)[None, :, None]
     x = _gelu(x)
     x = jax.lax.conv_general_dilated(
         x.astype(activation_dtype), enc["conv2_w"].astype(activation_dtype),
         window_strides=(2,), padding=[(1, 1)],
         dimension_numbers=("NCH", "OIH", "NCH"), precision=precision,
-        preferred_element_type=jnp.float32,
-    ) + enc["conv2_b"].astype(jnp.float32)[None, :, None]
+    ).astype(jnp.float32) + enc["conv2_b"].astype(jnp.float32)[None, :, None]
     x = _gelu(x)
     x = jnp.swapaxes(x, 1, 2)  # [B, 1500, D]
     x = (x + enc["pos_embed"][None].astype(jnp.float32)).astype(activation_dtype)
