@@ -27,6 +27,8 @@ def parse_args(argv=None):
     parser.add_argument("--backbone_lr", type=float, default=1e-5)
     parser.add_argument("--head_lr", type=float, default=1e-3)
     parser.add_argument("--max_length", type=float, default=10.0)
+    parser.add_argument("--freeze_backbone", action="store_true",
+                        help="SUPERB-style probe: train only layer weights + head")
     parser.add_argument("--random_init", action="store_true")
     add_mesh_args(parser)
     return parser.parse_args(argv)
@@ -64,6 +66,7 @@ def main(argv=None) -> int:
     cfg = FinetuneConfig(
         model=cfg_model, n_classes=len(class_names),
         backbone_lr=args.backbone_lr, head_lr=args.head_lr,
+        freeze_backbone=args.freeze_backbone,
         precision=__import__("jax").lax.Precision.DEFAULT,
         activation_dtype=jnp.bfloat16,
     )

@@ -40,6 +40,7 @@ class FinetuneConfig:
     head_lr: float = 1e-3
     weight_decay: float = 1e-4
     freeze_feature_encoder: bool = True  # standard for wav2vec2-family fine-tune
+    freeze_backbone: bool = False  # True = SUPERB-style weighted-sum probe
     remat_encoder: bool = True
     precision: Any = jax.lax.Precision.DEFAULT
     activation_dtype: Any = jnp.bfloat16
@@ -104,6 +105,8 @@ def make_optimizer(cfg: FinetuneConfig, params) -> optax.GradientTransformation:
             if not path:
                 return "head"
             if path[0] == "backbone":
+                if cfg.freeze_backbone:
+                    return "frozen"
                 if cfg.freeze_feature_encoder and len(path) > 1 and path[1] == "feature_encoder":
                     return "frozen"
                 return "backbone"
