@@ -48,6 +48,10 @@ def parse_args(argv=None):
                         help="Audio seconds per device batch")
     parser.add_argument("--random_init", action="store_true",
                         help="Skip checkpoint load; random weights (offline smoke runs)")
+    parser.add_argument("--long_files", type=str, default="trim",
+                        choices=["trim", "chunk"],
+                        help="Files longer than the top bucket: trim (reference "
+                             "behavior) or chunk+weighted-average")
     add_mesh_args(parser)
     return parser.parse_args(argv)
 
@@ -84,7 +88,8 @@ def main(argv=None) -> int:
         frame_align=extractor.frame_align,
     )
     pipe = ExtractionPipeline(extractor, batcher=batcher,
-                              checkpoint_interval=args.checkpoint_interval)
+                              checkpoint_interval=args.checkpoint_interval,
+                              long_file_policy=args.long_files)
     splits = [args.split] if args.split != "all" else ["train", "test", "devel"]
     pipe.run(metadata, args.output_dir, splits=splits, resume=args.resume)
     logger.info("extraction complete -> %s", args.output_dir)

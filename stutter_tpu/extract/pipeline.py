@@ -96,6 +96,13 @@ class WavLMExtractor:
         self.column_names = [f"layer_{i}" for i in self.layer_indices]
         # snap bucket lengths so frame counts hit MXU-friendly multiples
         self.frame_align = (*cfg.stem_geometry, 16)
+
+        def frame_count(n_samples: int) -> int:
+            from stutter_tpu.models.wavlm import wavlm_feature_lengths
+
+            return int(wavlm_feature_lengths(cfg, n_samples))
+
+        self.frame_count = frame_count
         opts = PRESETS[preset]
         self.params = replicate(mesh, cast_params_for_preset(params, preset))
 
@@ -147,6 +154,8 @@ class WhisperExtractor:
         self.column_names = [f"encoder_layer_{i}" for i in self.encoder_indices] + [
             f"decoder_layer_{i}" for i in self.decoder_indices
         ]
+        # every whisper chunk pools over the fixed 1500-position mel
+        self.frame_count = lambda n_samples: cfg.max_source_positions
         opts = PRESETS[preset]
         self.params = replicate(mesh, cast_params_for_preset(params, preset))
 
@@ -176,14 +185,25 @@ class WhisperExtractor:
 
 
 class ExtractionPipeline:
-    """Split loop -> bucketed batches -> device forward -> store (C10)."""
+    """Split loop -> bucketed batches -> device forward -> store (C10).
+
+    long_file_policy: what happens to clips longer than the top bucket —
+    'trim' (reference behavior: keep the first bucket-length seconds,
+    WavLM_embeddings.py:112-117) or 'chunk' (split into top-bucket-length
+    chunks, embed each, and length-weight-average the pooled embeddings —
+    equal to mean-pooling the whole file up to chunk-boundary effects;
+    SURVEY.md §5 long-context handling).
+    """
 
     def __init__(
         self,
         extractor,
         batcher: BucketBatcher | None = None,
         checkpoint_interval: int = 50,
+        long_file_policy: str = "trim",
     ):
+        assert long_file_policy in ("trim", "chunk")
+        self.long_file_policy = long_file_policy
         self.extractor = extractor
         if batcher is None:
             buckets = getattr(extractor, "preferred_buckets", None)
@@ -219,10 +239,26 @@ class ExtractionPipeline:
         done_paths = {r["path"] for r in results}
         todo = split_meta[~split_meta["path"].isin(done_paths)].reset_index()
 
+        long_rows: list[int] = []
+        if self.long_file_policy == "chunk":
+            from stutter_tpu.audio.wavio import wav_info
+
+            top_s = self.batcher.buckets_s[-1]
+            for i, p in enumerate(todo["path"]):
+                try:
+                    n, sr = wav_info(p)
+                    if n / sr > top_s:
+                        long_rows.append(i)
+                except Exception:  # noqa: BLE001 — normal path reports it
+                    continue
+
         t0 = time.perf_counter()
         audio_s = 0.0
         since_ckpt = 0
-        for batch in self.batcher.batches(list(todo["path"])):
+        short_paths = [p for i, p in enumerate(todo["path"]) if i not in set(long_rows)]
+        row_of_path = {p: i for i, p in enumerate(todo["path"])}
+        for batch in self.batcher.batches(short_paths):
+            batch.rows = [row_of_path[p] for p in batch.paths]
             embeddings = self.extractor(batch)
             for j, row_idx in enumerate(batch.rows):
                 if not batch.ok[j]:
@@ -246,6 +282,12 @@ class ExtractionPipeline:
                 ckpt_num += 1
                 save_checkpoint(results, output_dir, split, ckpt_num)
                 since_ckpt = 0
+
+        for row_idx in long_rows:
+            entry = self._extract_chunked(todo.iloc[row_idx], split)
+            if entry is not None:
+                results.append(entry)
+                audio_s += entry.pop("_audio_s")
         wall = time.perf_counter() - t0
         if wall > 0 and audio_s > 0:
             logger.info(
@@ -258,6 +300,48 @@ class ExtractionPipeline:
             df = df.sort_values("path", kind="stable").reset_index(drop=True)
             save_embeddings(df, output_dir, split, expected_dim=self.extractor.embedding_dim)
         return df
+
+    def _extract_chunked(self, meta_row, split: str) -> dict | None:
+        """Embed one over-length file as top-bucket chunks, then combine the
+        pooled embeddings with frame-count weights (== whole-file mean pool,
+        up to chunk-boundary effects)."""
+        from stutter_tpu.audio.wavio import load_audio
+
+        sr = self.batcher.target_sr
+        chunk_samples = self.batcher.bucket_samples(self.batcher.buckets_s[-1])
+        wave = load_audio(meta_row["path"], target_sr=sr)
+        if wave is None:
+            logger.error("skipping %s (decode failed)", meta_row["path"])
+            return None
+        n_chunks = max(1, -(-len(wave) // chunk_samples))
+        waves = np.zeros((n_chunks, chunk_samples), np.float32)
+        lengths = np.zeros((n_chunks,), np.int64)
+        for c in range(n_chunks):
+            seg = wave[c * chunk_samples : (c + 1) * chunk_samples]
+            waves[c, : len(seg)] = seg
+            lengths[c] = len(seg)
+        batch = Batch(
+            paths=[meta_row["path"]] * n_chunks, rows=list(range(n_chunks)),
+            waves=waves, lengths=lengths, ok=np.ones(n_chunks, bool),
+            bucket_s=chunk_samples / sr,
+        )
+        embeddings = self.extractor(batch)
+        weights = np.array([self.extractor.frame_count(int(n)) for n in lengths],
+                           np.float64)
+        weights /= weights.sum()
+        entry = {
+            "filename": meta_row["filename"], "path": meta_row["path"],
+            "split": split, "chunks": n_chunks, "_audio_s": float(len(wave)) / sr,
+        }
+        if "label" in meta_row and not pd.isna(meta_row["label"]):
+            entry["label"] = meta_row["label"]
+        for col, arr in embeddings.items():
+            entry[col] = np.asarray(
+                (np.asarray(arr, np.float64) * weights[:, None]).sum(axis=0), np.float32
+            )
+        logger.info("chunked %s: %d chunks (%.1f s)", meta_row["filename"],
+                    n_chunks, entry["_audio_s"])
+        return entry
 
     def run(
         self,

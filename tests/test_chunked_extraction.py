@@ -1,0 +1,67 @@
+"""Chunked long-file extraction (SURVEY.md §5 long-context handling)."""
+
+import numpy as np
+import pytest
+
+
+def test_chunked_long_file(tmp_path, rng):
+    import jax
+
+    from stutter_tpu.audio.wavio import write_wav
+    from stutter_tpu.extract import (
+        BucketBatcher,
+        ExtractionPipeline,
+        WavLMExtractor,
+        create_metadata_from_files,
+    )
+    from stutter_tpu.models import WavLMConfig, init_wavlm_params
+
+    wav_dir = tmp_path / "wav"
+    wav_dir.mkdir()
+    # one short file + one 5 s file with a 2 s top bucket -> 3 chunks
+    short = (rng.randn(16000) * 0.1).astype(np.float32)
+    long = (rng.randn(16000 * 5) * 0.1).astype(np.float32)
+    write_wav(str(wav_dir / "train_short.wav"), short, 16000)
+    write_wav(str(wav_dir / "train_long.wav"), long, 16000)
+
+    cfg = WavLMConfig.tiny(hidden_size=32, layers=2, heads=4)
+    params = init_wavlm_params(jax.random.key(0), cfg)
+    extractor = WavLMExtractor(cfg, params)
+    meta = create_metadata_from_files(str(tmp_path), split="train")
+    batcher = BucketBatcher(buckets_s=(1.0, 2.0), audio_budget_s=8.0)
+
+    pipe = ExtractionPipeline(extractor, batcher=batcher, long_file_policy="chunk")
+    df = pipe.run_split(meta, "train", str(tmp_path / "out"))
+    assert len(df) == 2
+    long_row = df[df["filename"] == "train_long"].iloc[0]
+    assert long_row["chunks"] == 3
+
+    # mechanism check: equals the frame-weighted average of per-chunk pools
+    # (decode from disk like the pipeline does — int16 quantization matters)
+    from stutter_tpu.audio.wavio import load_audio
+    from stutter_tpu.extract.batcher import Batch
+    from stutter_tpu.models.wavlm import wavlm_feature_lengths
+
+    long = load_audio(str(wav_dir / "train_long.wav"), target_sr=16000)
+    chunk = batcher.bucket_samples(2.0)
+    n_chunks = -(-len(long) // chunk)
+    waves = np.zeros((n_chunks, chunk), np.float32)
+    lengths = np.zeros((n_chunks,), np.int64)
+    for c in range(n_chunks):
+        seg = long[c * chunk : (c + 1) * chunk]
+        waves[c, : len(seg)] = seg
+        lengths[c] = len(seg)
+    embs = extractor(Batch(paths=["x"] * n_chunks, rows=list(range(n_chunks)),
+                           waves=waves, lengths=lengths,
+                           ok=np.ones(n_chunks, bool), bucket_s=2.0))
+    w = np.array([int(wavlm_feature_lengths(cfg, int(n))) for n in lengths], np.float64)
+    w /= w.sum()
+    col = extractor.column_names[0]
+    expected = (np.asarray(embs[col], np.float64) * w[:, None]).sum(axis=0)
+    np.testing.assert_allclose(np.asarray(long_row[col]), expected, rtol=1e-5, atol=1e-6)
+
+    # trim policy keeps reference semantics: single row, no chunks column value
+    pipe2 = ExtractionPipeline(extractor, batcher=batcher, long_file_policy="trim")
+    df2 = pipe2.run_split(meta, "train", str(tmp_path / "out2"))
+    assert len(df2) == 2
+    assert "chunks" not in df2.columns or df2["chunks"].isna().all()
