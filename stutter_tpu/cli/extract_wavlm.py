@@ -52,6 +52,10 @@ def parse_args(argv=None):
                         choices=["trim", "chunk"],
                         help="Files longer than the top bucket: trim (reference "
                              "behavior) or chunk+weighted-average")
+    parser.add_argument("--verify_model", action="store_true",
+                        help="Dummy-forward model verification before extraction "
+                             "(the reference always does this; opt-in here since "
+                             "it costs one extra compile)")
     add_mesh_args(parser)
     return parser.parse_args(argv)
 
@@ -72,6 +76,10 @@ def main(argv=None) -> int:
     logger.info("model: %s (%d layers, hidden %d, stable_ln=%s)",
                 args.model_name, cfg.num_hidden_layers, cfg.hidden_size,
                 cfg.do_stable_layer_norm)
+    if args.verify_model:
+        from stutter_tpu.models.verify import verify_wavlm
+
+        verify_wavlm(params, cfg, model_name=args.model_name)
 
     metadata = create_metadata_from_files(args.data_dir, split=args.split)
     if len(metadata) == 0:

@@ -32,6 +32,8 @@ def parse_args(argv=None):
     parser.add_argument("--checkpoint_interval", type=int, default=50)
     parser.add_argument("--sample_rate", type=int, default=16000)
     parser.add_argument("--random_init", action="store_true")
+    parser.add_argument("--verify_model", action="store_true",
+                        help="Dummy-forward model verification before extraction")
     add_mesh_args(parser)
     return parser.parse_args(argv)
 
@@ -51,6 +53,10 @@ def main(argv=None) -> int:
     cfg, params = load_whisper_model(args.model_path or args.model_name, args.random_init)
     logger.info("model: %s (%d enc / %d dec layers, d_model %d)",
                 args.model_name, cfg.encoder_layers, cfg.decoder_layers, cfg.d_model)
+    if args.verify_model:
+        from stutter_tpu.models.verify import verify_whisper
+
+        verify_whisper(params, cfg, model_name=args.model_name)
 
     metadata = create_metadata_from_files(args.data_dir, split=args.split)
     if len(metadata) == 0:
