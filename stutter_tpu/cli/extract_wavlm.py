@@ -76,15 +76,15 @@ def main(argv=None) -> int:
     logger.info("model: %s (%d layers, hidden %d, stable_ln=%s)",
                 args.model_name, cfg.num_hidden_layers, cfg.hidden_size,
                 cfg.do_stable_layer_norm)
-    if args.verify_model:
-        from stutter_tpu.models.verify import verify_wavlm
-
-        verify_wavlm(params, cfg, model_name=args.model_name)
 
     metadata = create_metadata_from_files(args.data_dir, split=args.split)
     if len(metadata) == 0:
         logger.error("no files found under %s", args.data_dir)
         return 1
+    if args.verify_model:  # after the cheap metadata check: verify compiles
+        from stutter_tpu.models.verify import verify_wavlm
+
+        verify_wavlm(params, cfg, model_name=args.model_path or args.model_name)
 
     extractor = WavLMExtractor(cfg, params, mesh=mesh, preset=args.preset)
     batcher = BucketBatcher(

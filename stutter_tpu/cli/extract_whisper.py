@@ -53,15 +53,15 @@ def main(argv=None) -> int:
     cfg, params = load_whisper_model(args.model_path or args.model_name, args.random_init)
     logger.info("model: %s (%d enc / %d dec layers, d_model %d)",
                 args.model_name, cfg.encoder_layers, cfg.decoder_layers, cfg.d_model)
-    if args.verify_model:
-        from stutter_tpu.models.verify import verify_whisper
-
-        verify_whisper(params, cfg, model_name=args.model_name)
 
     metadata = create_metadata_from_files(args.data_dir, split=args.split)
     if len(metadata) == 0:
         logger.error("no files found under %s", args.data_dir)
         return 1
+    if args.verify_model:  # after the cheap metadata check: verify compiles
+        from stutter_tpu.models.verify import verify_whisper
+
+        verify_whisper(params, cfg, model_name=args.model_path or args.model_name)
 
     extractor = WhisperExtractor(cfg, params, mesh=mesh, preset=args.preset)
     batcher = BucketBatcher(

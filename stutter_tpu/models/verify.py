@@ -43,7 +43,7 @@ def verify_wavlm(params, cfg: WavLMConfig, model_name: str = "") -> int:
 
 def verify_whisper(params, cfg: WhisperConfig, model_name: str = "") -> tuple[int, int]:
     """Dummy mel forward; returns (encoder states, decoder states)."""
-    dummy = np.zeros((1, 80, 3000), np.float32)
+    dummy = np.zeros((1, cfg.num_mel_bins, 3000), np.float32)
     enc_last, enc_states = whisper_encoder_forward(params, dummy, cfg)
     _, dec_states = whisper_decoder_step(params, enc_last, 0, cfg)
     hidden = enc_last.shape[-1]
