@@ -41,10 +41,11 @@ class Batch:
     lengths: np.ndarray  # [B] int64 true sample counts (0 for pad rows)
     ok: np.ndarray  # [B] bool (False: decode failure or pad row)
     bucket_s: float
+    sample_rate: int = 16000
 
     @property
     def audio_seconds(self) -> float:
-        return float(self.lengths.sum()) / 16000.0
+        return float(self.lengths.sum()) / float(self.sample_rate)
 
 
 class BucketBatcher:
@@ -94,6 +95,10 @@ class BucketBatcher:
     def batch_size_for(self, bucket_s: float) -> int:
         b = max(self.min_batch, min(self.max_batch, int(self.audio_budget_s / bucket_s)))
         m = self.batch_multiple
+        # snap to the mesh multiple without exceeding max_batch (the user's
+        # memory cap): round down once clamped, but never below one multiple
+        if b >= self.max_batch:
+            return max(m, (b // m) * m)
         return ((b + m - 1) // m) * m
 
     def assign_buckets(self, paths: Sequence[str]) -> dict[float, list[int]]:
@@ -126,7 +131,7 @@ class BucketBatcher:
             ok = np.concatenate([ok, np.zeros((pad,), bool)])
         return Batch(
             paths=batch_paths, rows=list(rows), waves=waves, lengths=lengths,
-            ok=ok, bucket_s=bucket_s,
+            ok=ok, bucket_s=bucket_s, sample_rate=self.target_sr,
         )
 
     def batches(self, paths: Sequence[str], prefetch: bool = True) -> Iterator[Batch]:

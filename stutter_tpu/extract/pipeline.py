@@ -208,8 +208,10 @@ class ExtractionPipeline:
         if batcher is None:
             buckets = getattr(extractor, "preferred_buckets", None)
             mesh: MeshPlan | None = getattr(extractor, "mesh", None)
+            from stutter_tpu.extract.batcher import DEFAULT_BUCKETS_S
+
             batcher = BucketBatcher(
-                buckets_s=buckets or BucketBatcher.__init__.__defaults__[1],
+                buckets_s=buckets or DEFAULT_BUCKETS_S,
                 batch_multiple=mesh.data_size if mesh else 1,
                 frame_align=getattr(extractor, "frame_align", None),
             )
@@ -255,7 +257,8 @@ class ExtractionPipeline:
         t0 = time.perf_counter()
         audio_s = 0.0
         since_ckpt = 0
-        short_paths = [p for i, p in enumerate(todo["path"]) if i not in set(long_rows)]
+        long_set = set(long_rows)
+        short_paths = [p for i, p in enumerate(todo["path"]) if i not in long_set]
         row_of_path = {p: i for i, p in enumerate(todo["path"])}
         for batch in self.batcher.batches(short_paths):
             batch.rows = [row_of_path[p] for p in batch.paths]
@@ -288,6 +291,11 @@ class ExtractionPipeline:
             if entry is not None:
                 results.append(entry)
                 audio_s += entry.pop("_audio_s")
+                since_ckpt += 1
+                if since_ckpt >= self.checkpoint_interval:
+                    ckpt_num += 1
+                    save_checkpoint(results, output_dir, split, ckpt_num)
+                    since_ckpt = 0
         wall = time.perf_counter() - t0
         if wall > 0 and audio_s > 0:
             logger.info(
@@ -314,20 +322,32 @@ class ExtractionPipeline:
             logger.error("skipping %s (decode failed)", meta_row["path"])
             return None
         n_chunks = max(1, -(-len(wave) // chunk_samples))
-        waves = np.zeros((n_chunks, chunk_samples), np.float32)
-        lengths = np.zeros((n_chunks,), np.int64)
+        # pad the chunk count up to a mesh-divisible, small-shape-set size:
+        # keeps DP sharding even and bounds the number of distinct jit shapes
+        m = max(self.batcher.batch_multiple, 4)
+        n_padded = ((n_chunks + m - 1) // m) * m
+        waves = np.zeros((n_padded, chunk_samples), np.float32)
+        lengths = np.zeros((n_padded,), np.int64)
         for c in range(n_chunks):
             seg = wave[c * chunk_samples : (c + 1) * chunk_samples]
             waves[c, : len(seg)] = seg
             lengths[c] = len(seg)
+        ok = np.arange(n_padded) < n_chunks
         batch = Batch(
             paths=[meta_row["path"]] * n_chunks, rows=list(range(n_chunks)),
-            waves=waves, lengths=lengths, ok=np.ones(n_chunks, bool),
-            bucket_s=chunk_samples / sr,
+            waves=waves, lengths=lengths, ok=ok,
+            bucket_s=chunk_samples / sr, sample_rate=sr,
         )
         embeddings = self.extractor(batch)
-        weights = np.array([self.extractor.frame_count(int(n)) for n in lengths],
-                           np.float64)
+        # frame counts weight each chunk's mean; tiny remainder chunks can
+        # yield <=0 through the conv floor chain -> clamp, and guard the sum
+        weights = np.array(
+            [max(0, self.extractor.frame_count(int(n))) if ok[c] else 0
+             for c, n in enumerate(lengths)], np.float64,
+        )
+        if weights.sum() <= 0:
+            logger.error("skipping %s (no usable chunks)", meta_row["path"])
+            return None
         weights /= weights.sum()
         entry = {
             "filename": meta_row["filename"], "path": meta_row["path"],

@@ -79,15 +79,23 @@ def load_embeddings_combined(
         metas.append(meta)
         layer_sets.append(layers)
 
-    # align on the first part's row order
-    base = metas[0].copy()
-    base["_row"] = np.arange(len(base))
-    out_layers: dict[str, np.ndarray] = {
-        f"{parts[0]}_{k}": v for k, v in layer_sets[0].items()
-    }
+    # align on the first part's row order; (filename, split) must be unique
+    # per part or rows could pair with the wrong embeddings — dedupe with a
+    # warning (keep first, matching the stores' row order)
+    def dedupe(meta, layers, part):
+        dup = meta.duplicated(["filename", "split"], keep="first").to_numpy()
+        if dup.any():
+            logger.warning("combined store: part %r has %d duplicate "
+                           "(filename, split) rows; keeping first", part, int(dup.sum()))
+            meta = meta[~dup].reset_index(drop=True)
+            layers = {k: v[~dup] for k, v in layers.items()}
+        return meta, layers
+
+    base, base_layers = dedupe(metas[0], layer_sets[0], parts[0])
+    out_layers: dict[str, np.ndarray] = {f"{parts[0]}_{k}": v for k, v in base_layers.items()}
     keep = np.ones(len(base), bool)
     for part, meta, layers in zip(parts[1:], metas[1:], layer_sets[1:]):
-        meta = meta.copy()
+        meta, layers = dedupe(meta.copy(), layers, part)
         meta["_other_row"] = np.arange(len(meta))
         joined = base.merge(meta[["filename", "split", "_other_row"]],
                             on=["filename", "split"], how="left")
@@ -113,7 +121,7 @@ def load_embeddings_combined(
 
     tops = [out_layers[f"{p}_{top_key(i)}"] for i, p in enumerate(parts)]
     out_layers["combined_top"] = np.hstack(tops)
-    return base.drop(columns=["_row"]), out_layers
+    return base, out_layers
 
 
 def load_embeddings(
