@@ -13,7 +13,6 @@ always mask/pool over true lengths anyway).
 
 from __future__ import annotations
 
-import functools
 import os
 
 import jax
@@ -123,7 +122,10 @@ def mha_self(
     sequence is long enough to benefit; einsum elsewhere.
     """
     Lq, Lk = q.shape[2], k.shape[2]
-    if _flash_available() and Lk >= 512 and q.shape[-1] >= 64:
+    # flash needs BOTH axes long: short-query cases (the whisper decoder's
+    # 1-token cross-attention) would pad Lq up to the block size and waste
+    # ~500x the needed work — they stay on the einsum path
+    if _flash_available() and Lq >= 512 and Lk >= 512 and q.shape[-1] >= 64:
         return flash_mha(q, k, v, kv_valid=kv_valid)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=precision).astype(jnp.float32)
     if kv_valid is not None:

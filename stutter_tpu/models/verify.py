@@ -21,8 +21,6 @@ from stutter_tpu.utils.logging import get_logger
 
 logger = get_logger("models.verify")
 
-EXPECTED_HIDDEN = {"base": 768, "base-plus": 768, "large": 1024}
-
 
 def verify_wavlm(params, cfg: WavLMConfig, model_name: str = "") -> int:
     """Dummy forward; returns number of hidden states. Raises on mismatch."""
@@ -32,9 +30,10 @@ def verify_wavlm(params, cfg: WavLMConfig, model_name: str = "") -> int:
     logger.info("WavLM verified: %d hidden states of [1, %d, %d]", n_states, frames, hidden)
     for i in range(n_states):
         logger.debug("layer %d: shape %s", i, all_hidden[i].shape)
-    if "large" in model_name and hidden != 1024:
+    name = model_name.lower()
+    if "large" in name and hidden != 1024:
         raise ValueError(f"requested large model but hidden size is {hidden}, not 1024")
-    if ("base" in model_name and "large" not in model_name) and hidden != 768:
+    if ("base" in name and "large" not in name) and hidden != 768:
         raise ValueError(f"requested base model but hidden size is {hidden}, not 768")
     if hidden != cfg.hidden_size:
         raise ValueError(f"hidden size {hidden} != config {cfg.hidden_size}")

@@ -39,6 +39,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import Any
 
 import jax
@@ -323,7 +324,7 @@ def gated_relpos_attention(
     elif (
         use_kernels
         and L % 8 == 0
-        and __import__("os").environ.get("STUTTER_TPU_FUSED_SHORT_ATTENTION")
+        and os.environ.get("STUTTER_TPU_FUSED_SHORT_ATTENTION")
     ):
         # short buckets: fused kernel (ops/wavlm_attention_pallas.py). Wins
         # in isolation (2.85 vs 3.38 ms at B=128/L=144) but loses end-to-end

@@ -75,7 +75,8 @@ def phase_vocoder(real: jax.Array, imag: jax.Array, rate: float, hop: int, n_fft
         (np.linspace(0, np.pi * hop, n_bins, dtype=np.float32))[None, :]
     )
     steps = jnp.arange(0, n_frames, rate)  # output frame positions (float)
-    # pad one frame so idx+1 is valid
+    # pad two frames so idx+1 stays valid at the stretched tail (torchaudio
+    # phase_vocoder semantics)
     real_p = jnp.concatenate([real, jnp.zeros((2, n_bins), real.dtype)])
     imag_p = jnp.concatenate([imag, jnp.zeros((2, n_bins), imag.dtype)])
 

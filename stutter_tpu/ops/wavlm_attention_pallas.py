@@ -57,9 +57,9 @@ def wavlm_fused_attention(
     interpret: bool = False,
 ) -> jax.Array:
     B, H, L, d = q.shape
-    # block 8 clips per step (amortizes per-step pipeline overhead); grid
-    # (H, B-blocks) keeps the per-head bias block constant along the inner
-    # loop so it is fetched once per head
+    # block up to 16 clips per step (amortizes per-step pipeline overhead);
+    # grid (H, B-blocks) keeps the per-head bias block constant along the
+    # inner loop so it is fetched once per head
     BB = 16 if B % 16 == 0 else (8 if B % 8 == 0 else 1)
     grid = (H, B // BB)
     qkv_spec = pl.BlockSpec((BB, 1, L, d), lambda h, b: (b, h, 0, 0),
