@@ -76,7 +76,10 @@ def augment_audio(
             y = np.asarray(resample(resample(x, sample_rate, new_sr), new_sr, sample_rate))
         elif augmentation_type == "noise":
             nf = r.uniform(*cfg.noise_range)
-            y = x + np.random.randn(*x.shape).astype(np.float32) * nf
+            # seeded from the caller's rng — global np.random would break the
+            # reproducibility the random_state plumbing promises
+            noise_rng = np.random.RandomState(r.randrange(2**32))
+            y = x + noise_rng.randn(*x.shape).astype(np.float32) * nf
         elif augmentation_type == "pitch":
             n_steps = r.randint(-cfg.pitch_steps, cfg.pitch_steps)
             y = np.asarray(pitch_shift(x, sample_rate, n_steps)) if n_steps != 0 else x

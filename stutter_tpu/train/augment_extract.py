@@ -27,29 +27,49 @@ from stutter_tpu.utils.logging import get_logger
 logger = get_logger("train.augment_extract")
 
 
-def _embed_waves(extractor, waves: list[np.ndarray], bucket_s: float = 30.0):
+def _embed_waves(extractor, waves: list[np.ndarray], chunk: int = 64):
     """Batch-embed a list of variable-length waves with one extractor call
-    per chunk. Returns {column: [n, D]}."""
+    per fixed-shape chunk. Returns {column: [n, D]}.
+
+    Shape discipline matters here exactly as in the main pipeline: ONE padded
+    length for all chunks (frame-aligned via the extractor's stem geometry so
+    the conv frame count tiles the MXU) and batch sizes padded to the mesh
+    data-axis multiple — otherwise every chunk is a fresh 60-90 s remote
+    compile and DP sharding crashes on ragged remainders.
+    """
     sr = 16000
     out: dict[str, list] = {name: [] for name in extractor.column_names}
-    chunk = 64
+    mesh = getattr(extractor, "mesh", None)
+    multiple = mesh.data_size if mesh is not None else 1
+    chunk = ((chunk + multiple - 1) // multiple) * multiple
+
+    max_len = max(len(w) for w in waves)
+    align = getattr(extractor, "frame_align", None)
+    if align is not None:
+        k, s, m = align
+        frames = max(1, (max_len - k) // s + 1)
+        frames = ((frames + m - 1) // m) * m
+        max_len = (frames - 1) * s + k
+
     for i in range(0, len(waves), chunk):
         group = waves[i : i + chunk]
-        max_len = max(len(w) for w in group)
-        padded = np.zeros((len(group), max_len), np.float32)
-        lengths = np.zeros((len(group),), np.int64)
+        bsz = ((len(group) + multiple - 1) // multiple) * multiple
+        padded = np.zeros((bsz, max_len), np.float32)
+        lengths = np.zeros((bsz,), np.int64)
         for j, w in enumerate(group):
+            w = w[:max_len]
             padded[j, : len(w)] = w
             lengths[j] = len(w)
+        ok = np.arange(bsz) < len(group)
         batch = Batch(
             paths=[f"<aug:{i + j}>" for j in range(len(group))],
             rows=list(range(len(group))),
-            waves=padded, lengths=lengths, ok=np.ones(len(group), bool),
-            bucket_s=max_len / sr,
+            waves=padded, lengths=lengths, ok=ok,
+            bucket_s=max_len / sr, sample_rate=sr,
         )
         embs = extractor(batch)
         for name in out:
-            out[name].append(embs[name])
+            out[name].append(embs[name][: len(group)])
     return {name: np.concatenate(v) for name, v in out.items()}
 
 

@@ -46,11 +46,40 @@ def prepare_data(
         label_to_idx, idx_to_label = build_label_maps(metadata["label"])
     else:
         idx_to_label = {i: c for c, i in label_to_idx.items()}
+        # labels absent from the supplied map (e.g. a class only present in
+        # eval) would NaN->INT64_MIN through .map; drop them with a warning
+        known = metadata["label"].isin(label_to_idx).to_numpy()
+        unknown = valid & ~known
+        if unknown.any():
+            logger.warning(
+                "dropping %d rows with labels outside the training label map: %s",
+                int(unknown.sum()),
+                sorted(set(metadata.loc[unknown, "label"].astype(str)))[:5],
+            )
+        valid = valid & known
 
     X = np.asarray(embeddings)[valid]
     y = metadata.loc[valid, "label"].map(label_to_idx).to_numpy(dtype=np.int64)
     logger.info("prepared %d samples, %d classes", len(y), len(label_to_idx))
     return X, y, label_to_idx, idx_to_label
+
+
+def stratified_test_mask(
+    metadata: pd.DataFrame, test_size: float = 0.2, seed: int = 42
+) -> np.ndarray:
+    """Boolean test-row mask for a stratified split (positional, so callers
+    can slice every embedding layer consistently)."""
+    rng = np.random.RandomState(seed)
+    labels = metadata["label"].fillna("__nan__").to_numpy()
+    test_idx: list[int] = []
+    for cls in pd.unique(labels):
+        idx = np.flatnonzero(labels == cls)
+        rng.shuffle(idx)
+        n_test = max(1, int(round(len(idx) * test_size))) if len(idx) > 1 else 0
+        test_idx.extend(idx[:n_test])
+    mask = np.zeros(len(metadata), bool)
+    mask[test_idx] = True
+    return mask
 
 
 def stratified_split(
@@ -63,16 +92,7 @@ def stratified_split(
     train_test`` mode, which its loader accepts but never implements —
     ``model_training_01.py:136-138`` errors out; implemented properly here).
     """
-    rng = np.random.RandomState(seed)
-    labels = metadata["label"].fillna("__nan__").to_numpy()
-    test_idx: list[int] = []
-    for cls in pd.unique(labels):
-        idx = np.flatnonzero(labels == cls)
-        rng.shuffle(idx)
-        n_test = max(1, int(round(len(idx) * test_size))) if len(idx) > 1 else 0
-        test_idx.extend(idx[:n_test])
-    test_mask = np.zeros(len(metadata), bool)
-    test_mask[test_idx] = True
+    test_mask = stratified_test_mask(metadata, test_size, seed)
     train_meta = metadata[~test_mask].reset_index(drop=True)
     test_meta = metadata[test_mask].reset_index(drop=True)
     logger.info("stratified split: %d train / %d test", len(train_meta), len(test_meta))

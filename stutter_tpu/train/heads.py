@@ -12,6 +12,7 @@ backend uniformly. StandardScaler is reimplemented to mirror sklearn's
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Any
 
@@ -109,6 +110,30 @@ def weighted_softmax_xent(
     return jnp.mean(per_example)
 
 
+@functools.lru_cache(maxsize=64)
+def _build_step(cfg: HeadConfig, weighted: bool):
+    """jit-compiled train step, cached per HeadConfig so repeated fits over a
+    layer/classifier sweep reuse one compilation (a per-fit closure would be
+    a fresh jit cache key every time)."""
+    import optax
+
+    tx = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+
+    @jax.jit
+    def step(params, opt_state, xb, yb, weights, key):
+        def loss_fn(p):
+            logits = head_forward(p, xb, dropout=cfg.dropout, rng=key)
+            return weighted_softmax_xent(
+                logits, yb, weights if weighted else None, cfg.label_smoothing
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt_state, loss
+
+    return tx, step
+
+
 class JaxClassifier:
     """sklearn-style fit/predict wrapper around a jit-compiled optax loop.
 
@@ -123,35 +148,23 @@ class JaxClassifier:
         self.scaler = StandardScaler()
 
     def fit(self, X: np.ndarray, y: np.ndarray) -> "JaxClassifier":
-        import optax
-
         cfg = self.cfg
         Xs = self.scaler.fit_transform(X)
         y = np.asarray(y, np.int32)
-        weights = (
-            jnp.asarray(compute_class_weights(y, cfg.n_classes), jnp.float32)
-            if self.class_weight == "balanced"
-            else None
+        weighted = self.class_weight == "balanced"
+        weights = jnp.asarray(
+            compute_class_weights(y, cfg.n_classes) if weighted else np.ones(cfg.n_classes),
+            jnp.float32,
         )
 
         rng = jax.random.key(cfg.seed)
         rng, init_key = jax.random.split(rng)
         params = init_head_params(init_key, cfg)
-        tx = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+        tx, step = _build_step(cfg, weighted)
         opt_state = tx.init(params)
 
         n = len(Xs)
         bs = min(cfg.batch_size, n)
-
-        @jax.jit
-        def step(params, opt_state, xb, yb, key):
-            def loss_fn(p):
-                logits = head_forward(p, xb, dropout=cfg.dropout, rng=key)
-                return weighted_softmax_xent(logits, yb, weights, cfg.label_smoothing)
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
 
         Xd = jnp.asarray(Xs)
         yd = jnp.asarray(y)
@@ -164,7 +177,8 @@ class JaxClassifier:
                 if len(idx) < bs:  # keep shapes static
                     idx = np.concatenate([idx, perm[: bs - len(idx)]])
                 rng, key = jax.random.split(rng)
-                params, opt_state, _ = step(params, opt_state, Xd[idx], yd[idx], key)
+                params, opt_state, _ = step(params, opt_state, Xd[idx], yd[idx],
+                                            weights, key)
         self.params = params
         return self
 

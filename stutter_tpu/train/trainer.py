@@ -66,15 +66,12 @@ def _split_store(cfg: TrainConfig, metadata, embeddings, layer_names):
     """(train_meta, eval_meta, train_emb{}, eval_emb{}) per the split mode."""
     first = layer_names[0]
     if cfg.split == "train_test":
-        train_meta, _, eval_meta, _ = stratified_split(
-            metadata, embeddings[first], cfg.test_size, cfg.random_state
-        )
-        # stratified_split masks rows; recompute the mask to slice all layers
-        test_paths = set(eval_meta["path"]) if "path" in eval_meta else None
-        if test_paths is not None:
-            mask = metadata["path"].isin(test_paths).to_numpy()
-        else:
-            mask = metadata.index.isin(eval_meta.index).to_numpy()
+        from stutter_tpu.train.data import stratified_test_mask
+
+        # one positional mask slices metadata and EVERY layer consistently
+        mask = stratified_test_mask(metadata, cfg.test_size, cfg.random_state)
+        train_meta = metadata[~mask].reset_index(drop=True)
+        eval_meta = metadata[mask].reset_index(drop=True)
         train_embeddings = {k: v[~mask] for k, v in embeddings.items()}
         eval_embeddings = {k: v[mask] for k, v in embeddings.items()}
         return train_meta, eval_meta, train_embeddings, eval_embeddings
@@ -108,6 +105,11 @@ def run_balanced_training(cfg: TrainConfig, extractor=None) -> dict:
     train_meta, eval_meta, train_embeddings, eval_embeddings = _split_store(
         cfg, metadata, embeddings, layer_names
     )
+    # label map over ALL splits (the reference fits its encoder on combined
+    # labels, model_training_01.py:470-477) so eval-only classes don't crash
+    from stutter_tpu.train.data import build_label_maps
+
+    global_labels, _ = build_label_maps(metadata["label"]) if "label" in metadata else ({}, {})
 
     if cfg.augmentation_factor > 0:
         if extractor is None:
@@ -128,7 +130,7 @@ def run_balanced_training(cfg: TrainConfig, extractor=None) -> dict:
     for layer in layer_names:
         logger.info("=== layer %s ===", layer)
         X_train, y_train, label_to_idx, idx_to_label = prepare_data(
-            train_meta, train_embeddings[layer]
+            train_meta, train_embeddings[layer], label_to_idx=global_labels or None
         )
         X_eval, y_eval, _, _ = prepare_data(eval_meta, eval_embeddings[layer], label_to_idx)
         class_names = [str(idx_to_label[i]) for i in range(len(idx_to_label))]
@@ -189,21 +191,32 @@ def run_grid_training(cfg: TrainConfig, extractor=None, model_names=GRID_MODELS)
     train_meta, eval_meta, train_embeddings, eval_embeddings = _split_store(
         cfg, metadata, embeddings, layer_names
     )
+    # label map over ALL splits (the reference fits its encoder on combined
+    # labels, model_training_01.py:470-477) so eval-only classes don't crash
+    from stutter_tpu.train.data import build_label_maps
 
-    if cfg.augmentation_factor > 0 and extractor is not None:
-        train_meta, train_embeddings = apply_data_augmentation(
-            train_meta, train_embeddings, extractor,
-            augmentation_factor=cfg.augmentation_factor,
-            minority_threshold=cfg.minority_threshold,
-            seed=cfg.random_state,
-        )
+    global_labels, _ = build_label_maps(metadata["label"]) if "label" in metadata else ({}, {})
+
+    if cfg.augmentation_factor > 0:
+        if extractor is None:
+            logger.warning(
+                "augmentation_factor=%d but no extractor provided; skipping "
+                "augmentation re-extraction", cfg.augmentation_factor,
+            )
+        else:
+            train_meta, train_embeddings = apply_data_augmentation(
+                train_meta, train_embeddings, extractor,
+                augmentation_factor=cfg.augmentation_factor,
+                minority_threshold=cfg.minority_threshold,
+                seed=cfg.random_state,
+            )
 
     all_rows: list[dict] = []
     best_per_layer: dict[str, dict] = {}
     for layer in layer_names:
         logger.info("=== layer %s (grid) ===", layer)
         X_train, y_train, label_to_idx, idx_to_label = prepare_data(
-            train_meta, train_embeddings[layer]
+            train_meta, train_embeddings[layer], label_to_idx=global_labels or None
         )
         X_eval, y_eval, _, _ = prepare_data(eval_meta, eval_embeddings[layer], label_to_idx)
         class_names = [str(idx_to_label[i]) for i in range(len(idx_to_label))]
