@@ -19,12 +19,20 @@ _tried = False
 
 
 def _compile() -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread", _CSRC, "-o", _SO]
+    # build to a temp path + atomic rename: concurrent processes must never
+    # dlopen a half-written .so
+    tmp = f"{_SO}.tmp.{os.getpid()}"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread", _CSRC, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO)
         return True
-    except (subprocess.SubprocessError, FileNotFoundError) as e:
+    except (subprocess.SubprocessError, FileNotFoundError, OSError) as e:
         logger.warning("native wavio build failed (%s); using numpy fallback", e)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 

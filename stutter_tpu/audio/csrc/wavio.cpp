@@ -31,7 +31,22 @@ extern "C" {
 
 // Returns 0 on success. Caller frees *out with wavio_free.
 // On success: *out = mono float32 samples, *n_samples, *sample_rate set.
+static int wavio_decode_impl(const char* path, float** out, int64_t* n_samples,
+                             int32_t* sample_rate);
+
 int wavio_decode(const char* path, float** out, int64_t* n_samples, int32_t* sample_rate) {
+    // exceptions (bad_alloc on corrupt sizes, etc.) must not cross the C ABI
+    try {
+        return wavio_decode_impl(path, out, n_samples, sample_rate);
+    } catch (...) {
+        *out = nullptr;
+        *n_samples = 0;
+        return 9;
+    }
+}
+
+static int wavio_decode_impl(const char* path, float** out, int64_t* n_samples,
+                             int32_t* sample_rate) {
     *out = nullptr;
     *n_samples = 0;
     *sample_rate = 0;
@@ -47,6 +62,15 @@ int wavio_decode(const char* path, float** out, int64_t* n_samples, int32_t* sam
         return 2;
     }
 
+    // bound all chunk allocations by the actual file size (streaming-recorder
+    // WAVs in the wild carry 0xFFFFFFFF sizes in unpatched headers; a corrupt
+    // size must not bad_alloc across the C ABI — per-file skip is the contract)
+    if (fseek(f, 0, SEEK_END) != 0) { fclose(f); return 2; }
+    long file_size_l = ftell(f);
+    if (file_size_l < 12) { fclose(f); return 2; }
+    uint64_t file_size = (uint64_t)file_size_l;
+    fseek(f, 12, SEEK_SET);
+
     uint16_t fmt_tag = 0, channels = 0, bits = 0;
     uint32_t rate = 0;
     bool got_fmt = false;
@@ -56,24 +80,32 @@ int wavio_decode(const char* path, float** out, int64_t* n_samples, int32_t* sam
         char id[4];
         uint32_t size;
         if (fread(id, 1, 4, f) != 4 || fread(&size, 4, 1, f) != 1) break;
+        long pos = ftell(f);
+        uint64_t remain = (pos < 0 || (uint64_t)pos > file_size) ? 0 : file_size - (uint64_t)pos;
+        uint64_t safe_size = size < remain ? size : remain;
         if (memcmp(id, "fmt ", 4) == 0) {
-            std::vector<uint8_t> fmt(size);
-            if (fread(fmt.data(), 1, size, f) != size) { fclose(f); return 3; }
+            if (safe_size < 16) { fclose(f); return 3; }  // legacy/truncated fmt
+            std::vector<uint8_t> fmt((size_t)safe_size);
+            if (fread(fmt.data(), 1, (size_t)safe_size, f) != (size_t)safe_size) {
+                fclose(f);
+                return 3;
+            }
+            if (safe_size & 1) fseek(f, 1, SEEK_CUR);  // RIFF pad byte
             fmt_tag = *(uint16_t*)&fmt[0];
             channels = *(uint16_t*)&fmt[2];
             rate = *(uint32_t*)&fmt[4];
             bits = *(uint16_t*)&fmt[14];
-            if (fmt_tag == 0xFFFE && size >= 40) {  // WAVE_FORMAT_EXTENSIBLE
-                fmt_tag = *(uint16_t*)&fmt[24];      // SubFormat first 2 bytes
+            if (fmt_tag == 0xFFFE && safe_size >= 40) {  // WAVE_FORMAT_EXTENSIBLE
+                fmt_tag = *(uint16_t*)&fmt[24];           // SubFormat first 2 bytes
             }
             got_fmt = true;
         } else if (memcmp(id, "data", 4) == 0) {
-            data.resize(size);
-            size_t got = fread(data.data(), 1, size, f);
+            data.resize((size_t)safe_size);
+            size_t got = fread(data.data(), 1, (size_t)safe_size, f);
             data.resize(got);
             break;
         } else {
-            if (fseek(f, (long)(size + (size & 1)), SEEK_CUR) != 0) break;
+            if (fseek(f, (long)(safe_size + (safe_size & 1)), SEEK_CUR) != 0) break;
         }
     }
     fclose(f);
@@ -215,7 +247,13 @@ void wavio_decode_batch(const char** paths, int64_t n_files, int32_t target_sr,
             float* mono = nullptr;
             int64_t n = 0;
             int32_t sr = 0;
-            int rc = wavio_decode(paths[i], &mono, &n, &sr);
+            int rc;
+            try {
+                rc = wavio_decode(paths[i], &mono, &n, &sr);
+            } catch (...) {  // never let a worker exception std::terminate
+                rc = 9;
+                mono = nullptr;
+            }
             if (rc != 0) {
                 status[i] = rc;
                 lengths[i] = 0;

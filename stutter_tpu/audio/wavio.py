@@ -73,7 +73,12 @@ def _read_wav_numpy(path: str) -> tuple[np.ndarray, int]:
         else:
             raise ValueError(f"unsupported PCM bits={bits}")
     elif fmt_tag == 3:
-        x = data_arr(data, np.float32 if bits == 32 else np.float64).astype(np.float32)
+        if bits == 32:
+            x = data_arr(data, np.float32).astype(np.float32)
+        elif bits == 64:
+            x = data_arr(data, np.float64).astype(np.float32)
+        else:
+            raise ValueError(f"unsupported IEEE-float bits={bits}")
     else:
         raise ValueError(f"unsupported wav format tag {fmt_tag}")
 

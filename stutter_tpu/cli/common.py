@@ -44,6 +44,9 @@ def str2bool(v: str | bool) -> bool:
 def add_mesh_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--devices", type=int, default=None,
                         help="Number of devices for the data-parallel mesh (default: all)")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="Tensor-parallel size (model axis); devices/tp is the "
+                             "data-parallel size")
     parser.add_argument("--preset", type=str, default="fast",
                         choices=["fast", "fidelity"],
                         help="Numerics preset: fast=bf16 MXU, fidelity=f32 HIGHEST")
@@ -73,12 +76,13 @@ def build_mesh(args):
 
     devices = jax.devices()
     n = args.devices or len(devices)
+    tp = getattr(args, "tp", 1)
     if args.device is not None:
         logger.warning("--device %r is ignored on TPU; using a %d-device mesh",
                        args.device, n)
     if n == 1:
         return None
-    return make_mesh(devices[:n])
+    return make_mesh(devices[:n], data=n // tp, model=tp)
 
 
 def load_wavlm_model(model_name: str, random_init: bool):

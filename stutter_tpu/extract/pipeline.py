@@ -104,7 +104,14 @@ class WavLMExtractor:
 
         self.frame_count = frame_count
         opts = PRESETS[preset]
-        self.params = replicate(mesh, cast_params_for_preset(params, preset))
+        params = cast_params_for_preset(params, preset)
+        if mesh is not None and mesh.model_size > 1:
+            # Megatron-style TP over the encoder weights (parallel/sharding.py)
+            from stutter_tpu.parallel.sharding import shard_params, wavlm_param_spec
+
+            self.params = shard_params(mesh, params, wavlm_param_spec(mesh))
+        else:
+            self.params = replicate(mesh, params)
 
         def fn(params, waves, lengths):
             waves = wavlm_prepare_batch(waves, lengths, cfg.do_normalize)

@@ -15,7 +15,9 @@ from stutter_tpu.ops.logmel import WHISPER_N_SAMPLES, log_mel_spectrogram, pad_o
 
 
 def _use_pallas() -> bool:
-    if os.environ.get("STUTTER_TPU_NO_PALLAS"):
+    # NOTE: evaluated at trace time; the first call per shape freezes the
+    # choice into the jit cache
+    if os.environ.get("STUTTER_TPU_NO_PALLAS", "").lower() in ("1", "true", "yes"):
         return False
     return jax.default_backend() not in ("cpu",)
 

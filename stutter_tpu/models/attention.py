@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 
 def _flash_available() -> bool:
-    if os.environ.get("STUTTER_TPU_NO_PALLAS"):
+    if os.environ.get("STUTTER_TPU_NO_PALLAS", "").lower() in ("1", "true", "yes"):
         return False
     return jax.default_backend() == "tpu" or jax.default_backend() == "axon"
 

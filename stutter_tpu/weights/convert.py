@@ -18,6 +18,7 @@ Conventions converted:
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from typing import Any, Mapping
 
@@ -257,10 +258,16 @@ def _load_state_dict_from_dir(path: str) -> StateDict:
         return sd
     import torch
 
-    bins = [f for f in os.listdir(path) if f.endswith(".bin")]
+    # only weight shards — Trainer dirs also hold training_args.bin etc.
+    bins = [f for f in os.listdir(path)
+            if f.endswith(".bin") and f.startswith(("pytorch_model", "model"))]
     sd = {}
     for f in sorted(bins):
-        sd.update({k: _np(v) for k, v in torch.load(os.path.join(path, f), map_location="cpu").items()})
+        loaded = torch.load(os.path.join(path, f), map_location="cpu")
+        if not hasattr(loaded, "items"):
+            logger.warning("skipping non-state-dict file %s", f)
+            continue
+        sd.update({k: _np(v) for k, v in loaded.items()})
     return sd
 
 
@@ -283,8 +290,30 @@ def load_wavlm(model_name_or_path: str):
         hf_cfg = model.config
         sd = {k: _np(v) for k, v in model.state_dict().items()}
     cfg = wavlm_config_from_hf(hf_cfg)
-    do_norm = "large" in model_name_or_path  # wavlm-large family normalizes
-    cfg = __import__("dataclasses").replace(cfg, do_normalize=do_norm)
+    # do_normalize is a per-checkpoint frontend policy; read it from the
+    # checkpoint's preprocessor config when available, name heuristic only
+    # as a last resort (hub ids like microsoft/wavlm-large encode the family)
+    do_norm = None
+    pp = os.path.join(model_name_or_path, "preprocessor_config.json")
+    if os.path.isfile(pp):
+        import json
+
+        do_norm = bool(json.load(open(pp)).get("do_normalize", False))
+    else:
+        try:
+            from transformers import Wav2Vec2FeatureExtractor
+
+            fe = Wav2Vec2FeatureExtractor.from_pretrained(model_name_or_path)
+            do_norm = bool(fe.do_normalize)
+        except Exception:  # noqa: BLE001 — offline/no preprocessor config
+            pass
+    if do_norm is None:
+        do_norm = "large" in os.path.basename(model_name_or_path).lower()
+        logger.warning(
+            "no preprocessor config found; inferring do_normalize=%s from the "
+            "checkpoint name (wavlm-large family normalizes)", do_norm,
+        )
+    cfg = dataclasses.replace(cfg, do_normalize=do_norm)
     logger.info("converted WavLM %s: %d layers, hidden %d", model_name_or_path,
                 cfg.num_hidden_layers, cfg.hidden_size)
     return cfg, convert_wavlm_state_dict(sd, cfg)
