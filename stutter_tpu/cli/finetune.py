@@ -81,18 +81,24 @@ def main(argv=None) -> int:
     # pool is for streaming extraction — training revisits the same clips)
     cached = []
     for batch in batcher.batches(list(train_meta["path"])):
+        n_pad = len(batch.waves) - len(batch.paths)
         labels = np.array(
-            [label_by_path.get(p, 0) for p in batch.paths]
-            + [0] * (len(batch.waves) - len(batch.paths)),
-            np.int32,
+            [label_by_path.get(p, 0) for p in batch.paths] + [0] * n_pad, np.int32
         )
-        cached.append((batch.waves, batch.lengths, labels))
+        # mask bucket-pad rows, decode failures, and unlabeled paths out of
+        # the loss/accuracy (they'd otherwise train the head toward class 0)
+        valid = np.array(
+            [bool(batch.ok[j]) and p in label_by_path
+             for j, p in enumerate(batch.paths)] + [False] * n_pad,
+            np.float32,
+        )
+        cached.append((batch.waves, batch.lengths, labels, valid))
     rng = np.random.RandomState(0)
     for epoch in range(args.epochs):
         losses = []
         for i in rng.permutation(len(cached)):
-            waves, lengths, labels = cached[i]
-            aux = trainer.step(waves, lengths, labels, class_weights)
+            waves, lengths, labels, valid = cached[i]
+            aux = trainer.step(waves, lengths, labels, class_weights, valid=valid)
             losses.append(aux["loss"])
         logger.info("epoch %d: mean loss %.4f", epoch, float(np.mean(losses)))
 

@@ -121,10 +121,18 @@ class WavLMExtractor:
 
         self._fn = jax.jit(fn)
 
-    def __call__(self, batch: Batch) -> dict[str, np.ndarray]:
+    def submit(self, batch: Batch):
+        """Dispatch the device program WITHOUT a host sync (JAX async
+        dispatch): the returned handle is a live [S, B, D] device array."""
         waves, lengths = shard_batch(self.mesh, batch.waves, batch.lengths.astype(np.int32))
-        pooled = np.asarray(self._fn(self.params, waves, lengths))  # [S, B, D] f32
+        return self._fn(self.params, waves, lengths)
+
+    def collect(self, handle) -> dict[str, np.ndarray]:
+        pooled = np.asarray(handle)  # [S, B, D] f32, blocks until done
         return {name: pooled[s] for s, name in enumerate(self.column_names)}
+
+    def __call__(self, batch: Batch) -> dict[str, np.ndarray]:
+        return self.collect(self.submit(batch))
 
 
 class WhisperExtractor:
@@ -161,8 +169,16 @@ class WhisperExtractor:
         self.column_names = [f"encoder_layer_{i}" for i in self.encoder_indices] + [
             f"decoder_layer_{i}" for i in self.decoder_indices
         ]
-        # every whisper chunk pools over the fixed 1500-position mel
-        self.frame_count = lambda n_samples: cfg.max_source_positions
+        # True encoder frames covering n_samples of audio (mel hop 160, conv
+        # stem stride 2), capped at the fixed 1500 positions. Used ONLY as the
+        # chunk-combination weight in _extract_chunked — the encoder itself
+        # still pools over all 1500 padded positions (reference quirk kept),
+        # but a 2 s tail chunk must not weigh as much as a full 30 s chunk.
+        from stutter_tpu.ops.logmel import WHISPER_HOP
+
+        self.frame_count = lambda n_samples: max(
+            1, min(cfg.max_source_positions, int(n_samples) // (WHISPER_HOP * 2))
+        )
         opts = PRESETS[preset]
         self.params = replicate(mesh, cast_params_for_preset(params, preset))
 
@@ -182,13 +198,20 @@ class WhisperExtractor:
 
         self._fn = jax.jit(fn)
 
-    def __call__(self, batch: Batch) -> dict[str, np.ndarray]:
+    def submit(self, batch: Batch):
+        """Dispatch the device program without a host sync (async handle)."""
         waves = shard_batch(self.mesh, batch.waves)
-        enc, dec = self._fn(self.params, waves)
+        return self._fn(self.params, waves)
+
+    def collect(self, handle) -> dict[str, np.ndarray]:
+        enc, dec = handle
         enc, dec = np.asarray(enc), np.asarray(dec)
         out = {f"encoder_layer_{i}": enc[s] for s, i in enumerate(self.encoder_indices)}
         out.update({f"decoder_layer_{i}": dec[s] for s, i in enumerate(self.decoder_indices)})
         return out
+
+    def __call__(self, batch: Batch) -> dict[str, np.ndarray]:
+        return self.collect(self.submit(batch))
 
 
 class ExtractionPipeline:
@@ -267,9 +290,17 @@ class ExtractionPipeline:
         long_set = set(long_rows)
         short_paths = [p for i, p in enumerate(todo["path"]) if i not in long_set]
         row_of_path = {p: i for i, p in enumerate(todo["path"])}
-        for batch in self.batcher.batches(short_paths):
-            batch.rows = [row_of_path[p] for p in batch.paths]
-            embeddings = self.extractor(batch)
+
+        # 1-deep async pipeline: batch i+1 is DISPATCHED (host->device copy +
+        # device compute, both async) before batch i's pooled result is
+        # fetched and stored — so host-side row bookkeeping, checkpointing,
+        # and the device->host transfer overlap the next batch's compute.
+        can_pipeline = hasattr(self.extractor, "submit") and hasattr(self.extractor, "collect")
+
+        def drain(pending) -> None:
+            nonlocal audio_s, since_ckpt, ckpt_num
+            batch, handle = pending
+            embeddings = self.extractor.collect(handle) if can_pipeline else handle
             for j, row_idx in enumerate(batch.rows):
                 if not batch.ok[j]:
                     if j < len(batch.paths):
@@ -292,6 +323,16 @@ class ExtractionPipeline:
                 ckpt_num += 1
                 save_checkpoint(results, output_dir, split, ckpt_num)
                 since_ckpt = 0
+
+        pending = None
+        for batch in self.batcher.batches(short_paths):
+            batch.rows = [row_of_path[p] for p in batch.paths]
+            handle = self.extractor.submit(batch) if can_pipeline else self.extractor(batch)
+            if pending is not None:
+                drain(pending)
+            pending = (batch, handle)
+        if pending is not None:
+            drain(pending)
 
         for row_idx in long_rows:
             entry = self._extract_chunked(todo.iloc[row_idx], split)
@@ -318,8 +359,10 @@ class ExtractionPipeline:
 
     def _extract_chunked(self, meta_row, split: str) -> dict | None:
         """Embed one over-length file as top-bucket chunks, then combine the
-        pooled embeddings with frame-count weights (== whole-file mean pool,
-        up to chunk-boundary effects)."""
+        pooled embeddings weighted by each chunk's TRUE frame count. For
+        WavLM (mask-correct pooling) this equals the whole-file mean pool up
+        to chunk-boundary effects; for Whisper (pool-over-padding quirk kept)
+        it weights each chunk's padded pool by its real audio content."""
         from stutter_tpu.audio.wavio import load_audio
 
         sr = self.batcher.target_sr

@@ -124,8 +124,15 @@ def mha_self(
     Lq, Lk = q.shape[2], k.shape[2]
     # flash needs BOTH axes long: short-query cases (the whisper decoder's
     # 1-token cross-attention) would pad Lq up to the block size and waste
-    # ~500x the needed work — they stay on the einsum path
-    if _flash_available() and Lq >= 512 and Lk >= 512 and q.shape[-1] >= 64:
+    # ~500x the needed work — they stay on the einsum path. The kernel is
+    # also gated on bf16 activations: the fidelity preset (f32 + HIGHEST)
+    # must keep the einsum path it advertises and that the goldens test,
+    # same as WavLM's dispatch (wavlm.py).
+    if (
+        _flash_available()
+        and q.dtype == jnp.bfloat16
+        and Lq >= 512 and Lk >= 512 and q.shape[-1] >= 64
+    ):
         return flash_mha(q, k, v, kv_valid=kv_valid)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=precision).astype(jnp.float32)
     if kv_valid is not None:

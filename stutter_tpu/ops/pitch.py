@@ -105,8 +105,18 @@ def pitch_shift(
     n_steps: int,
     bins_per_octave: int = 12,
     n_fft: int = 512,
+    freq_quantum: int = 50,
 ) -> jax.Array:
-    """Shift pitch by n_steps semitones, preserving duration ([T] -> [T])."""
+    """Shift pitch by n_steps semitones, preserving duration ([T] -> [T]).
+
+    ``freq_quantum`` snaps the intermediate resample frequency to a multiple
+    of itself: the exact ``int(sr/rate)`` is usually COPRIME with the sample
+    rate (e.g. 17959 vs 16000 for +2 semitones), which makes the gcd-reduced
+    polyphase sinc kernel ~[16000, 18000] — gigabytes and minutes to build
+    (torchaudio's resampler shares this pathology). Snapping to 50 Hz keeps
+    the kernel tiny at <=0.3% rate error (<0.06 semitones), inaudible for
+    the +-2-semitone augmentation this implements.
+    """
     if n_steps == 0:
         return waveform
     hop = n_fft // 4
@@ -116,7 +126,10 @@ def pitch_shift(
     real_s, imag_s = phase_vocoder(real, imag, rate, hop, n_fft)
     stretched_len = int(round(length / rate))
     y = _istft(real_s, imag_s, n_fft, hop, stretched_len)
-    y = resample(y, int(sample_rate / rate), sample_rate)
+    orig_freq = int(sample_rate / rate)
+    if freq_quantum > 1:
+        orig_freq = max(freq_quantum, round(orig_freq / freq_quantum) * freq_quantum)
+    y = resample(y, orig_freq, sample_rate)
     # pad/trim back to the original length (torchaudio fixes output length)
     if y.shape[0] >= length:
         return y[:length]

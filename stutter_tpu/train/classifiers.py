@@ -30,6 +30,38 @@ from stutter_tpu.utils.logging import get_logger
 logger = get_logger("train.classifiers")
 
 
+class LabelEncodedClassifier:
+    """LabelEncoder round-trip wrapper (reference ``model_training_01.py:
+    470-523``): XGBClassifier requires contiguous 0..K-1 integer labels, so
+    the reference encodes y before fit and inverse-transforms predictions
+    back to the original label space. Applied uniformly to the 'xgb' backend
+    (real xgboost or the HistGB stand-in) so an xgboost-present environment
+    is drop-in with identical label semantics."""
+
+    def __init__(self, base):
+        self.base = base
+        self.label_encoder_ = None
+
+    def fit(self, X, y):
+        from sklearn.preprocessing import LabelEncoder
+
+        self.label_encoder_ = LabelEncoder()
+        y_enc = self.label_encoder_.fit_transform(np.asarray(y))
+        logger.info(
+            "Encoded %d classes for XGBoost: %s",
+            len(self.label_encoder_.classes_), self.label_encoder_.classes_,
+        )
+        self.base.fit(X, y_enc)
+        return self
+
+    def predict(self, X):
+        y_enc = np.asarray(self.base.predict(X), np.int64)
+        return self.label_encoder_.inverse_transform(y_enc)
+
+    def predict_proba(self, X):
+        return self.base.predict_proba(X)
+
+
 def make_classifier(
     classifier_type: str,
     n_features: int,
@@ -92,7 +124,10 @@ def make_classifier(
             )
     else:
         raise ValueError(f"unknown classifier type: {classifier_type!r}")
-    return Pipeline([("scaler", SkScaler()), ("clf", clf)])
+    pipeline = Pipeline([("scaler", SkScaler()), ("clf", clf)])
+    if classifier_type == "xgb":
+        return LabelEncodedClassifier(pipeline)
+    return pipeline
 
 
 def train_balanced_model(

