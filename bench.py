@@ -97,6 +97,62 @@ def main() -> None:
 
     audio_s = batch * (n_samples / sr) * iters
     throughput = audio_s / wall
+    t_step = wall / iters
+
+    # per-stage timings + MFU (VERDICT r1 #3): stem and encoder in isolation,
+    # chained-scalar timing (block_until_ready is unreliable on the tunnel)
+    from stutter_tpu.models.wavlm import (
+        conv_feature_encoder,
+        wavlm_encoder,
+        wavlm_feature_lengths,
+    )
+
+    def chain_time(f, args, iters=12):
+        acc = f(*args)
+        float(acc)
+        t0 = time.perf_counter()
+        acc = f(*args)
+        for _ in range(iters - 1):
+            acc = acc + f(*args)
+        float(acc)
+        return (time.perf_counter() - t0) / iters
+
+    adt = jnp.bfloat16 if preset == "fast" else jnp.float32
+    prec = jax.lax.Precision.DEFAULT if preset == "fast" else jax.lax.Precision.HIGHEST
+
+    @jax.jit
+    def stem_only(p, w, l):
+        x = wavlm_prepare_batch(w, l, cfg.do_normalize)
+        feats = conv_feature_encoder(p["feature_encoder"], x, cfg, prec,
+                                     sample_lengths=l, compute_dtype=adt)
+        return jnp.sum(feats.astype(jnp.float32))
+
+    L = int(wavlm_feature_lengths(cfg, n_samples))
+    hidden = jax.device_put(jnp.asarray(
+        (np.random.RandomState(1).randn(batch, L, cfg.hidden_size) * 0.05)
+        .astype(np.float32), adt))
+    fl = jax.device_put(np.full((batch,), L, np.int32))
+
+    @jax.jit
+    def encoder_only(p, h, fl):
+        _, pooled = wavlm_encoder(
+            p["encoder"], h, fl, cfg, prec,
+            reducer=lambda x: jnp.mean(x.astype(jnp.float32), axis=1))
+        return jnp.sum(pooled)
+
+    t_stem = chain_time(stem_only, (bench_params, waves_d, lengths_d))
+    t_enc = chain_time(encoder_only, (bench_params, hidden, fl))
+
+    # bf16 model FLOPs: encoder qkvo/scores/ffn + conv stem MAC chain
+    D = cfg.hidden_size
+    enc_flops = 2 * (4 * D * D + 2 * L * D + 8 * D * D) * L * cfg.num_hidden_layers * batch
+    lens, cin, stem_macs = n_samples, 1, 0
+    for cout, kk, ss in zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride):
+        lens = (lens - kk) // ss + 1
+        stem_macs += lens * cout * cin * kk
+        cin = cout
+    flops = enc_flops + 2 * stem_macs * batch
+    V5E_BF16_PEAK = 197e12
 
     whisper_tp = _whisper_encoder_throughput()
 
@@ -109,6 +165,13 @@ def main() -> None:
         "fidelity_cosine_distance_fast_vs_f32": fidelity,
         "batch": batch,
         "clip_seconds": clip_s,
+        "mfu": round(flops / t_step / V5E_BF16_PEAK, 3),
+        "stage_ms": {
+            "stem": round(t_stem * 1e3, 2),
+            "encoder": round(t_enc * 1e3, 2),
+            "other": round((t_step - t_stem - t_enc) * 1e3, 2),
+            "full": round(t_step * 1e3, 2),
+        },
         "whisper_large_encoder_audio_sec_per_sec": whisper_tp,
         "device": str(jax.devices()[0]),
     }

@@ -173,8 +173,55 @@ def layer_norm(x: jax.Array, p: Params, eps: float) -> jax.Array:
 
 
 def _gelu(x: jax.Array) -> jax.Array:
-    # torch nn.GELU default: exact erf formulation
+    # torch nn.GELU default is the exact erf form; keep it on f32 paths
+    # (fidelity preset / HF parity). In bf16 the erf polynomial dominates the
+    # elementwise time — measured +19 ms across the stem vs +0.5 ms for the
+    # tanh form at B=128 on v5e — and tanh-gelu's ~1e-3 relative deviation is
+    # below bf16's own 0.4% resolution (embedding fidelity stays ~3e-5).
+    if x.dtype == jnp.bfloat16:
+        return jax.nn.gelu(x, approximate=True)
     return jax.nn.gelu(x, approximate=False)
+
+
+def _stem_conv(x: jax.Array, w_oih: jax.Array, stride: int, precision) -> jax.Array:
+    """One stem Conv1d [B, T, C] -> [B, L, O], MXU-shaped.
+
+    Two cases are re-expressed as plain matmuls (measured on v5e, B=128,
+    3.2 s clips — scripts/profile_stem.py):
+    - C == 1 (the first conv): a 1-input-channel conv runs at ~0.3 TFLOP/s —
+      the MXU contracts over a size-1 (padded to 8) axis. im2col via
+      shifted reshapes gives a [B*L, k] x [k, O] matmul instead.
+    - stride == kernel (the last two convs, k=2 s=2): non-overlapping windows
+      are a FREE reshape to [B, L, k*C] -> one [k*C, O] matmul.
+    Everything else stays a lax conv (the 512->512 k3 s2 convs already run at
+    ~90-120 TFLOP/s, and im2col would 1.5x their HBM traffic).
+    """
+    B, T, C = x.shape
+    O, _, k = w_oih.shape
+    if C == 1 or stride == k:
+        L = (T - k) // stride + 1
+        nb = -(-k // stride)  # reshape blocks each output window touches
+        need = (L - 1 + nb) * stride
+        if need > T:  # pad; padded samples sit past every true tap (i < k)
+            x = jnp.pad(x, ((0, 0), (0, need - T), (0, 0)))
+        xr = x[:, :need, :].reshape(B, need // stride, stride * C)
+        parts = [
+            xr[:, j : j + L, : min(stride, k - j * stride) * C] for j in range(nb)
+        ]
+        frames = parts[0] if nb == 1 else jnp.concatenate(parts, axis=-1)
+        # frames last axis is (tap i, channel c) flattened == HIO reshape
+        w_flat = jnp.transpose(w_oih, (2, 1, 0)).reshape(k * C, O).astype(x.dtype)
+        return jax.lax.dot_general(
+            frames, w_flat, (((2,), (0,)), ((), ())), precision=precision
+        )
+    return jax.lax.conv_general_dilated(
+        x,
+        jnp.transpose(w_oih, (2, 1, 0)).astype(x.dtype),
+        window_strides=(stride,),
+        padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        precision=precision,
+    )
 
 
 def conv_feature_encoder(
@@ -198,47 +245,43 @@ def conv_feature_encoder(
     frames are re-zeroed (otherwise padding leaks into the stats and batched
     != per-clip).
     """
-    # the stem is ~40% of total FLOPs at large scale; run its convs in the
-    # activation dtype (bf16 fast preset) with norm statistics kept in f32
-    x = waveform[:, None, :]  # NCH
+    # TPU-first stem layout: NHC ([B, T, C]) end to end — the native TPU conv
+    # layout (no NCH transposes in or around the LNs), with the inter-conv
+    # carry kept in the activation dtype (bf16 fast preset: the early conv
+    # outputs are ~1.3 GB/batch at large scale, so f32 carries double the HBM
+    # traffic of the whole stem). Norm statistics always compute in f32.
+    x = waveform[:, :, None].astype(compute_dtype)  # [B, T, 1]
     lengths = sample_lengths
     for i, layer in enumerate(params["conv_layers"]):
         # no preferred_element_type: it breaks the conv grad transpose with
         # mixed dtypes (fine-tune path); MXU still accumulates in f32
-        x = jax.lax.conv_general_dilated(
-            x.astype(compute_dtype),
-            layer["w"].astype(compute_dtype),  # [out, in, k] torch OIH layout
-            window_strides=(cfg.conv_stride[i],),
-            padding="VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"),
-            precision=precision,
-        ).astype(jnp.float32)
+        x = _stem_conv(x, layer["w"], cfg.conv_stride[i], precision)
         if layer.get("b") is not None:
-            x = x + layer["b"][None, :, None]
+            x = x + layer["b"].astype(x.dtype)[None, None, :]
         mask = None
         if lengths is not None:
             lengths = (lengths - cfg.conv_kernel[i]) // cfg.conv_stride[i] + 1
-            mask = (jnp.arange(x.shape[-1])[None, :] < lengths[:, None]).astype(x.dtype)
-            mask = mask[:, None, :]  # [B, 1, T]
+            mask = (jnp.arange(x.shape[1])[None, :] < lengths[:, None])[:, :, None]
         if cfg.feat_extract_norm == "group" and i == 0:
-            # GroupNorm(groups=channels) == per-channel instance norm over time
+            # GroupNorm(groups=channels) == per-channel instance norm over
+            # time (axis 1 in NHC), masked so padding can't leak into stats
+            xf = x.astype(jnp.float32)
             if mask is None:
-                mean = jnp.mean(x, axis=-1, keepdims=True)
-                var = jnp.var(x, axis=-1, keepdims=True)
+                mean = jnp.mean(xf, axis=1, keepdims=True)
+                var = jnp.var(xf, axis=1, keepdims=True)
             else:
-                n = jnp.maximum(jnp.sum(mask, axis=-1, keepdims=True), 1.0)
-                mean = jnp.sum(x * mask, axis=-1, keepdims=True) / n
-                var = jnp.sum(jnp.square((x - mean) * mask), axis=-1, keepdims=True) / n
-            x = (x - mean) * jax.lax.rsqrt(var + 1e-5)
-            x = x * layer["norm"]["scale"][None, :, None] + layer["norm"]["bias"][None, :, None]
+                m = mask.astype(jnp.float32)
+                n = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+                mean = jnp.sum(xf * m, axis=1, keepdims=True) / n
+                var = jnp.sum(jnp.square((xf - mean) * m), axis=1, keepdims=True) / n
+            xf = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
+            x = (xf * layer["norm"]["scale"] + layer["norm"]["bias"]).astype(x.dtype)
         elif cfg.feat_extract_norm == "layer":
-            xt = jnp.swapaxes(x, 1, 2)
-            xt = layer_norm(xt, layer["norm"], 1e-5)
-            x = jnp.swapaxes(xt, 1, 2)
+            x = layer_norm(x, layer["norm"], 1e-5)  # over C, the last axis
         x = _gelu(x)
         if mask is not None:
-            x = x * mask
-    return jnp.swapaxes(x, 1, 2)  # [B, L, C]
+            x = x * mask.astype(x.dtype)
+    return x  # [B, L, C]
 
 
 def wavlm_feature_lengths(cfg: WavLMConfig, input_lengths) -> Any:
@@ -256,21 +299,19 @@ def pos_conv_embedding(params: Params, x: jax.Array, cfg: WavLMConfig, precision
     conversion time (inference/fine-tune use the effective weight directly).
     """
     k = cfg.num_conv_pos_embeddings
-    xc = jnp.swapaxes(x, 1, 2)  # [B, C, L]
     y = jax.lax.conv_general_dilated(
-        xc,
-        params["w"].astype(x.dtype),  # [out, in/groups, k]
+        x,  # [B, L, C] — native NHC, no transposes
+        jnp.transpose(params["w"], (2, 1, 0)).astype(x.dtype),  # OIH -> HIO
         window_strides=(1,),
         padding=[(k // 2, k // 2)],
-        dimension_numbers=("NCH", "OIH", "NCH"),
+        dimension_numbers=("NHC", "HIO", "NHC"),
         feature_group_count=cfg.num_conv_pos_embedding_groups,
         precision=precision,
     ).astype(jnp.float32)
-    y = y + params["b"].astype(jnp.float32)[None, :, None]
+    y = y + params["b"].astype(jnp.float32)
     if k % 2 == 0:  # SamePad removes the trailing element
-        y = y[:, :, :-1]
-    y = _gelu(y)
-    return jnp.swapaxes(y, 1, 2).astype(x.dtype)
+        y = y[:, :-1, :]
+    return _gelu(y).astype(x.dtype)
 
 
 def gated_relpos_attention(
@@ -291,14 +332,18 @@ def gated_relpos_attention(
     def heads(t):
         return t.reshape(B, L, H, hd).transpose(0, 2, 1, 3)  # [B, H, L, hd]
 
-    # GRU-style gate computed from the raw (pre-projection) head inputs.
-    g_in = heads(x)
+    # GRU-style gate computed from the raw (pre-projection) head inputs —
+    # projected in [B, L, H, hd] layout (a reshape view of x) so no full-
+    # tensor transpose is paid; only the tiny [B, L, H, 2] result transposes.
     proj = (
-        jnp.einsum("bhld,de->bhle", g_in, layer["gru_w"], precision=precision)
+        jnp.einsum(
+            "blhd,de->blhe", x.reshape(B, L, H, hd), layer["gru_w"],
+            precision=precision,
+        )
         + layer["gru_b"]
     )
-    proj = proj.reshape(B, H, L, 2, 4).sum(-1)
-    gates = jax.nn.sigmoid(proj.astype(jnp.float32))
+    proj = proj.reshape(B, L, H, 2, 4).sum(-1)
+    gates = jax.nn.sigmoid(proj.astype(jnp.float32).transpose(0, 2, 1, 3))
     gate_a, gate_b = gates[..., 0], gates[..., 1]  # [B, H, L]
     const = layer["gru_const"].reshape(1, H, 1)
     gate = gate_a * (gate_b * const - 1.0) + 2.0  # [B, H, L]
@@ -306,6 +351,9 @@ def gated_relpos_attention(
     def gated_bias():  # [B, H, L, L] — only materialized on non-fused paths
         return gate[..., None] * position_bias[None].astype(jnp.float32)
 
+    # separate q/k/v GEMMs: measured FASTER than a fused [D, 3D] GEMM here
+    # (the in-scan weight concat + layout change cost more than the saved
+    # launches — 146 vs 135 ms encoder at B=128/L=160)
     q = heads(jnp.einsum("bld,de->ble", x, layer["q_w"], precision=precision) + layer["q_b"])
     k = heads(jnp.einsum("bld,de->ble", x, layer["k_w"], precision=precision) + layer["k_b"])
     v = heads(jnp.einsum("bld,de->ble", x, layer["v_w"], precision=precision) + layer["v_b"])
@@ -341,6 +389,17 @@ def gated_relpos_attention(
         out = wavlm_fused_attention(
             q * scale, k, v, position_bias.astype(jnp.float32), gate, mask2
         )
+    elif x.dtype == jnp.bfloat16:
+        # fast preset: keep the [B, H, L, L] logits/bias/softmax in bf16 —
+        # these tensors are pure HBM traffic (~210 MB/layer in f32 at
+        # B=128/L=160) and bf16's ~0.4% relative error post-max-subtraction
+        # is far inside the 1e-3 cosine bar (bench.py re-measures fidelity)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k, precision=precision)
+        logits = logits + gated_bias().astype(jnp.bfloat16)
+        if key_mask_bias is not None:
+            logits = logits + key_mask_bias.astype(jnp.bfloat16)
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, precision=precision)
     else:
         logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k, precision=precision)
         logits = logits.astype(jnp.float32) + gated_bias()
