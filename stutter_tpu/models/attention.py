@@ -115,6 +115,7 @@ def mha_self(
     v: jax.Array,
     kv_valid: jax.Array | None = None,
     precision=jax.lax.Precision.DEFAULT,
+    allow_flash: bool = True,
 ) -> jax.Array:
     """Self/cross attention [B, H, Lq, d] x [B, H, Lk, d] -> [B, H, Lq, d].
 
@@ -129,7 +130,8 @@ def mha_self(
     # must keep the einsum path it advertises and that the goldens test,
     # same as WavLM's dispatch (wavlm.py).
     if (
-        _flash_available()
+        allow_flash
+        and _flash_available()
         and q.dtype == jnp.bfloat16
         and Lq >= 512 and Lk >= 512 and q.shape[-1] >= 64
     ):

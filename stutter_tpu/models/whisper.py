@@ -131,7 +131,8 @@ def _gelu(x):
     return jax.nn.gelu(x, approximate=False)
 
 
-def _attention(q_in, kv_in, p, prefix, num_heads, precision, causal=False):
+def _attention(q_in, kv_in, p, prefix, num_heads, precision, causal=False,
+               allow_flash=True):
     """Whisper MHA: q scaled after projection, k_proj bias-free.
 
     Non-causal full-sequence attention (the encoder's 1500-position case)
@@ -156,7 +157,8 @@ def _attention(q_in, kv_in, p, prefix, num_heads, precision, causal=False):
     if not causal:
         from stutter_tpu.models.attention import mha_self
 
-        out = mha_self(heads(q, Lq), heads(k, Lk), heads(v, Lk), precision=precision)
+        out = mha_self(heads(q, Lq), heads(k, Lk), heads(v, Lk), precision=precision,
+                       allow_flash=allow_flash)
     else:
         logits = jnp.einsum(
             "bhqd,bhkd->bhqk", heads(q, Lq), heads(k, Lk), precision=precision
@@ -188,8 +190,13 @@ def whisper_encoder_forward(
     precision=jax.lax.Precision.HIGHEST,
     activation_dtype=jnp.float32,
     hidden_reducer=None,
+    use_flash: bool = True,
 ):
     """[B, 80, 3000] log-mel -> (last_hidden [B, 1500, D], all_hidden [N+1, ...]).
+
+    use_flash=False forces the einsum attention path — required under tensor
+    parallelism, where a pallas_call has no GSPMD partitioning rule and would
+    force its operands replicated.
 
     Input length is a hard contract (HF asserts 3000 mel frames,
     modeling_whisper.py:668-672). hidden_reducer, when given, is applied to
@@ -222,7 +229,8 @@ def whisper_encoder_forward(
 
     def body(carry, layer):
         h = _layer_norm(carry, layer["ln1_s"], layer["ln1_b"], eps)
-        new = carry + _attention(h, h, layer, "attn", nh, precision)
+        new = carry + _attention(h, h, layer, "attn", nh, precision,
+                                 allow_flash=use_flash)
         h = _layer_norm(new, layer["ln2_s"], layer["ln2_b"], eps)
         out = (new + _ffn(h, layer, precision)).astype(carry.dtype)
         return out, collect(carry)  # yield layer INPUT (HF hidden_states[i])

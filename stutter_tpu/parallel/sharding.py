@@ -45,6 +45,48 @@ def wavlm_param_spec(plan: MeshPlan) -> dict:
     }
 
 
+def whisper_param_spec(plan: MeshPlan) -> dict:
+    """PartitionSpec pytree matching init_whisper_params/convert output.
+
+    Same Megatron layout as WavLM: q/k/v and fc1 column-parallel, o and fc2
+    row-parallel, one all-reduce per attention/ffn block; stems, norms,
+    embeddings replicated. Head count must divide the model-axis size
+    (whisper-large: 20 heads -> tp in {1, 2, 4, 5, 10, 20}).
+    """
+    m = MODEL_AXIS if plan.model_size > 1 else None
+    rep = P()
+
+    def attn(prefix):
+        return {
+            f"{prefix}_q_w": P(None, None, m), f"{prefix}_q_b": P(None, m),
+            f"{prefix}_k_w": P(None, None, m),
+            f"{prefix}_v_w": P(None, None, m), f"{prefix}_v_b": P(None, m),
+            f"{prefix}_o_w": P(None, m, None), f"{prefix}_o_b": rep,
+        }
+
+    def ffn_ln(extra_ln: bool):
+        spec = {
+            "fc1_w": P(None, None, m), "fc1_b": P(None, m),
+            "fc2_w": P(None, m, None), "fc2_b": rep,
+            "ln1_s": rep, "ln1_b": rep, "ln2_s": rep, "ln2_b": rep,
+        }
+        if extra_ln:
+            spec.update({"ln3_s": rep, "ln3_b": rep})
+        return spec
+
+    return {
+        "encoder": {
+            "conv1_w": rep, "conv1_b": rep, "conv2_w": rep, "conv2_b": rep,
+            "pos_embed": rep, "ln_s": rep, "ln_b": rep,
+            "layers": {**attn("attn"), **ffn_ln(False)},
+        },
+        "decoder": {
+            "embed_tokens": rep, "pos_embed": rep, "ln_s": rep, "ln_b": rep,
+            "layers": {**attn("attn"), **attn("xattn"), **ffn_ln(True)},
+        },
+    }
+
+
 def shard_params(plan: MeshPlan, params, spec_tree) -> dict:
     """device_put a param pytree with per-leaf NamedShardings.
 

@@ -187,3 +187,28 @@ def test_pipeline_skips_bad_files(corpus, tiny_wavlm, tmp_path):
     df = pipe.run_split(meta, "devel", str(tmp_path / "emb4"))
     assert len(df) == len(meta) - 1
     assert "nope" not in set(df["filename"])
+
+
+def test_i16_transfer_lossless(tiny_wavlm, rng):
+    """The fast preset ships waveforms host->device as int16 (halves transfer
+    bytes). For int16-derived audio (every un-resampled wav) the round trip
+    i/32768 -> int16 -> /32768 must be exactly lossless."""
+    from stutter_tpu.extract.batcher import Batch
+    from stutter_tpu.extract.pipeline import WavLMExtractor
+
+    cfg, params = tiny_wavlm
+    # int16-grid samples, exactly like wav decode produces
+    waves = (rng.randint(-20000, 20000, size=(4, 8000)).astype(np.float32)) / 32768.0
+    lengths = np.array([8000, 6000, 8000, 4000], np.int64)
+    for i, n in enumerate(lengths):
+        waves[i, n:] = 0.0
+    batch = Batch(paths=[f"p{i}" for i in range(4)], rows=list(range(4)),
+                  waves=waves, lengths=lengths, ok=np.ones(4, bool), bucket_s=0.5)
+
+    ex = WavLMExtractor(cfg, params, preset="fast")
+    assert ex._transfer_i16
+    out_i16 = ex(batch)
+    ex._transfer_i16 = False  # force the f32 transfer path, same program
+    out_f32 = ex(batch)
+    for k in out_i16:
+        np.testing.assert_array_equal(out_i16[k], out_f32[k])

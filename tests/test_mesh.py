@@ -82,6 +82,38 @@ def test_dp_extraction_matches_single_device(rng):
         np.testing.assert_allclose(sharded[k], single[k], rtol=1e-4, atol=1e-5)
 
 
+def test_whisper_tp_sharded_matches(rng):
+    """TP-sharded Whisper encoder + 1-step decoder == replicated forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from stutter_tpu.models import (
+        WhisperConfig,
+        init_whisper_params,
+        whisper_decoder_step,
+        whisper_encoder_forward,
+    )
+    from stutter_tpu.parallel.mesh import make_mesh
+    from stutter_tpu.parallel.sharding import shard_params, whisper_param_spec
+
+    cfg = WhisperConfig.tiny(d_model=64, layers=2, heads=4)
+    params = init_whisper_params(jax.random.key(0), cfg)
+    mel = (rng.randn(2, cfg.num_mel_bins, 3000) * 0.5).astype(np.float32)
+
+    def fwd(p, m):
+        enc_last, enc_hidden = whisper_encoder_forward(p, m, cfg, use_flash=False)
+        _, dec_hidden = whisper_decoder_step(p, enc_last, 0, cfg)
+        return enc_hidden, dec_hidden
+
+    ref_enc, ref_dec = (np.asarray(t) for t in fwd(params, mel))
+
+    plan = make_mesh(data=4, model=2)
+    sharded = shard_params(plan, params, whisper_param_spec(plan))
+    out_enc, out_dec = (np.asarray(t) for t in jax.jit(fwd)(sharded, mel))
+    np.testing.assert_allclose(out_enc, ref_enc, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out_dec, ref_dec, rtol=1e-4, atol=1e-5)
+
+
 def test_tp_sharded_forward_matches(rng):
     """TP-sharded WavLM forward == replicated forward."""
     import jax
