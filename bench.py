@@ -101,21 +101,8 @@ def main() -> None:
 
     # per-stage timings + MFU (VERDICT r1 #3): stem and encoder in isolation,
     # chained-scalar timing (block_until_ready is unreliable on the tunnel)
-    from stutter_tpu.models.wavlm import (
-        conv_feature_encoder,
-        wavlm_encoder,
-        wavlm_feature_lengths,
-    )
-
-    def chain_time(f, args, iters=12):
-        acc = f(*args)
-        float(acc)
-        t0 = time.perf_counter()
-        acc = f(*args)
-        for _ in range(iters - 1):
-            acc = acc + f(*args)
-        float(acc)
-        return (time.perf_counter() - t0) / iters
+    from stutter_tpu.models.wavlm import conv_feature_encoder, wavlm_encoder
+    from stutter_tpu.utils.benchmarking import V5E_BF16_PEAK, chain_time, wavlm_flops
 
     adt = jnp.bfloat16 if preset == "fast" else jnp.float32
     prec = jax.lax.Precision.DEFAULT if preset == "fast" else jax.lax.Precision.HIGHEST
@@ -127,7 +114,7 @@ def main() -> None:
                                      sample_lengths=l, compute_dtype=adt)
         return jnp.sum(feats.astype(jnp.float32))
 
-    L = int(wavlm_feature_lengths(cfg, n_samples))
+    enc_flops, stem_flops, L = wavlm_flops(cfg, batch, n_samples)
     hidden = jax.device_put(jnp.asarray(
         (np.random.RandomState(1).randn(batch, L, cfg.hidden_size) * 0.05)
         .astype(np.float32), adt))
@@ -142,17 +129,7 @@ def main() -> None:
 
     t_stem = chain_time(stem_only, (bench_params, waves_d, lengths_d))
     t_enc = chain_time(encoder_only, (bench_params, hidden, fl))
-
-    # bf16 model FLOPs: encoder qkvo/scores/ffn + conv stem MAC chain
-    D = cfg.hidden_size
-    enc_flops = 2 * (4 * D * D + 2 * L * D + 8 * D * D) * L * cfg.num_hidden_layers * batch
-    lens, cin, stem_macs = n_samples, 1, 0
-    for cout, kk, ss in zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride):
-        lens = (lens - kk) // ss + 1
-        stem_macs += lens * cout * cin * kk
-        cin = cout
-    flops = enc_flops + 2 * stem_macs * batch
-    V5E_BF16_PEAK = 197e12
+    flops = enc_flops + stem_flops
 
     whisper_tp = _whisper_encoder_throughput()
 

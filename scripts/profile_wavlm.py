@@ -17,20 +17,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, args, iters=12):
-    """Median-free chained timing: scalar accumulator forces execution."""
-    import jax
-
-    acc = fn(*args)
-    float(acc)  # warm-up + compile
-    t0 = time.perf_counter()
-    acc = fn(*args)
-    for _ in range(iters - 1):
-        acc = acc + fn(*args)
-    total = float(acc)
-    wall = time.perf_counter() - t0
-    assert np.isfinite(total)
-    return wall / iters
+from stutter_tpu.utils.benchmarking import V5E_BF16_PEAK, chain_time as timeit, wavlm_flops
 
 
 def main():
@@ -125,17 +112,8 @@ def main():
     t_enc = timeit(encoder_only, (params, hidden, frame_lengths))
 
     audio_s = batch * n_samples / 16000
-    # FLOP estimate (MACs*2): encoder per token/layer: qkvo 4D^2 + scores 2LD
-    # + ffn 8D^2 (F=4D); stem: sum over convs of L_i*C_out*C_in*k
-    D = cfg.hidden_size
-    enc_flops = 2 * (4 * D * D + 2 * L * D + 8 * D * D) * L * cfg.num_hidden_layers * batch
-    lens, cin, stem_macs = n_samples, 1, 0
-    for cout, k, s in zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride):
-        lens = (lens - k) // s + 1
-        stem_macs += lens * cout * cin * k
-        cin = cout
-    stem_flops = 2 * stem_macs * batch
-    peak = 197e12  # v5e bf16
+    enc_flops, stem_flops, _ = wavlm_flops(cfg, batch, n_samples)
+    peak = V5E_BF16_PEAK
     out = {
         "full_ms": round(t_full * 1e3, 2),
         "stem_ms": round(t_stem * 1e3, 2),

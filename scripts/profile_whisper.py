@@ -12,15 +12,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, args, iters=8):
-    acc = fn(*args)
-    float(acc)
-    t0 = time.perf_counter()
-    acc = fn(*args)
-    for _ in range(iters - 1):
-        acc = acc + fn(*args)
-    float(acc)
-    return (time.perf_counter() - t0) / iters
+from stutter_tpu.utils.benchmarking import chain_time as timeit
 
 
 def main():

@@ -111,7 +111,8 @@ class WavLMExtractor:
         # ~100x below bf16's own rounding. Fidelity preset keeps f32.
         self._transfer_i16 = preset == "fast"
         params = cast_params_for_preset(params, preset)
-        if mesh is not None and mesh.model_size > 1:
+        tp = mesh is not None and mesh.model_size > 1
+        if tp:
             # Megatron-style TP over the encoder weights (parallel/sharding.py)
             from stutter_tpu.parallel.sharding import shard_params, wavlm_param_spec
 
@@ -124,7 +125,9 @@ class WavLMExtractor:
                 waves = waves.astype(jnp.float32) * (1.0 / 32768.0)
             waves = wavlm_prepare_batch(waves, lengths, cfg.do_normalize)
             return wavlm_encode(
-                params, waves, cfg, self.layer_indices, sample_lengths=lengths, **opts
+                params, waves, cfg, self.layer_indices, sample_lengths=lengths,
+                use_flash=not tp,  # pallas_call has no GSPMD partition rule
+                **opts,
             )
 
         self._fn = jax.jit(fn)

@@ -321,6 +321,7 @@ def gated_relpos_attention(
     key_mask_bias: jax.Array | None,
     cfg: WavLMConfig,
     precision,
+    allow_flash: bool = True,
 ) -> jax.Array:
     """One gated relative-position-bias MHA (modeling_wavlm.py:110-241).
 
@@ -361,7 +362,10 @@ def gated_relpos_attention(
     scale = hd**-0.5
     from stutter_tpu.models.attention import _flash_available, flash_mha_bias
 
-    use_kernels = _flash_available() and x.dtype == jnp.bfloat16  # fast preset only
+    # fast preset only; allow_flash=False forces the einsum path (required
+    # under tensor parallelism — a pallas_call has no GSPMD partition rule
+    # and would force its TP-sharded operands replicated)
+    use_kernels = allow_flash and _flash_available() and x.dtype == jnp.bfloat16
     if use_kernels and L >= 512 and hd >= 64:
         # long buckets: stream K/V through VMEM; bias read once per block
         ab = gated_bias()
@@ -429,15 +433,18 @@ def _encoder_layer(
     key_mask_bias,
     cfg: WavLMConfig,
     precision,
+    allow_flash: bool = True,
 ) -> jax.Array:
     eps = cfg.layer_norm_eps
     if cfg.do_stable_layer_norm:  # pre-LN (modeling_wavlm.py:339-373)
         attn_in = layer_norm(x, {"scale": layer["ln1_s"], "bias": layer["ln1_b"]}, eps)
-        x = x + gated_relpos_attention(layer, attn_in, position_bias, key_mask_bias, cfg, precision)
+        x = x + gated_relpos_attention(layer, attn_in, position_bias, key_mask_bias, cfg,
+                                       precision, allow_flash)
         ff_in = layer_norm(x, {"scale": layer["ln2_s"], "bias": layer["ln2_b"]}, eps)
         return x + feed_forward(layer, ff_in, precision)
     # post-LN (modeling_wavlm.py:298-336)
-    x = x + gated_relpos_attention(layer, x, position_bias, key_mask_bias, cfg, precision)
+    x = x + gated_relpos_attention(layer, x, position_bias, key_mask_bias, cfg, precision,
+                                   allow_flash)
     x = layer_norm(x, {"scale": layer["ln1_s"], "bias": layer["ln1_b"]}, eps)
     x = x + feed_forward(layer, x, precision)
     return layer_norm(x, {"scale": layer["ln2_s"], "bias": layer["ln2_b"]}, eps)
@@ -450,6 +457,7 @@ def wavlm_encoder(
     cfg: WavLMConfig,
     precision,
     reducer=None,
+    use_flash: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Run the transformer stack via lax.scan over stacked layer params.
 
@@ -477,7 +485,8 @@ def wavlm_encoder(
 
     def body(carry, layer):
         # cast back: f32 biases/LN params upcast bf16 activations otherwise
-        out = _encoder_layer(layer, carry, position_bias, key_mask_bias, cfg, precision)
+        out = _encoder_layer(layer, carry, position_bias, key_mask_bias, cfg, precision,
+                             use_flash)
         out = out.astype(carry.dtype)
         return out, collect(carry)  # yield layer INPUT (HF hidden_states[i])
 
@@ -505,6 +514,7 @@ def wavlm_forward(
     activation_dtype=jnp.float32,
     spec_augment_rng: jax.Array | None = None,
     hidden_reducer=None,
+    use_flash: bool = True,
 ):
     """Full WavLM forward with all hidden states (WavLMModel.forward parity).
 
@@ -547,7 +557,7 @@ def wavlm_forward(
     last, all_hidden = wavlm_encoder(
         params["encoder"], hidden,
         frame_lengths if sample_lengths is not None else None,
-        cfg, precision, reducer=hidden_reducer,
+        cfg, precision, reducer=hidden_reducer, use_flash=use_flash,
     )
     return last, all_hidden, frame_lengths
 
@@ -560,6 +570,7 @@ def wavlm_encode(
     sample_lengths: jax.Array | None = None,
     precision=jax.lax.Precision.HIGHEST,
     activation_dtype=jnp.float32,
+    use_flash: bool = True,
 ) -> jax.Array:
     """Mean-pooled embeddings for the selected hidden-state indices.
 
@@ -581,7 +592,7 @@ def wavlm_encode(
 
     _, pooled, _ = wavlm_forward(
         params, waveform, cfg, sample_lengths, precision, activation_dtype,
-        hidden_reducer=reducer,
+        hidden_reducer=reducer, use_flash=use_flash,
     )
     return pooled[jnp.asarray(layer_indices)]
 

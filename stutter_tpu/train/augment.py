@@ -143,11 +143,16 @@ def augment_audio(
         augmentation_type = r.choice(list(cfg.kinds))
     try:
         if augmentation_type == "speed":
-            # reference quirk preserved: resample sr -> int(sr*f) -> sr, a
+            # reference quirk preserved: resample sr -> ~sr*f -> sr, a
             # same-length round trip (model_training_01.py:158-164); the
-            # factor is snapped to a fixed grid to bound compiles
+            # factor is snapped to a fixed grid to bound compiles, and the
+            # intermediate rate to a 50 Hz multiple — the reference's bare
+            # int() truncation can produce a rate COPRIME with sr (e.g.
+            # int(16000*0.9625)=15399, gcd 1), whose gcd-reduced polyphase
+            # kernel is ~1 GB and minutes to build (same pathology as
+            # pitch_shift's freq_quantum; <=0.3% rate error is inaudible)
             f = _snap_speed(r.uniform(*cfg.speed_range), *cfg.speed_range)
-            new_sr = int(sample_rate * f)
+            new_sr = max(50, int(round(sample_rate * f / 50.0)) * 50)
             if new_sr == sample_rate:
                 y = x
             else:

@@ -31,17 +31,23 @@ def test_mesh_process_count_agnostic(rng):
     from stutter_tpu.parallel.sharding import wavlm_param_spec
 
     devices = jax.devices()
-    # simulate the process-major global ordering of a 2-host pod: host A owns
-    # devices [0..3], host B owns [4..7] (jax.devices() on a pod is sorted by
-    # process_index, so this IS the list every process would see)
-    two_host_order = devices[:4] + devices[4:]
+    # simulate a 2-host pod whose process-major global ordering DIFFERS from
+    # this process's default ordering: host B (devices 4..7) enumerates
+    # first. jax.devices() on a pod is sorted by process_index, so this is
+    # the list every process would see there.
+    two_host_order = list(devices[4:]) + list(devices[:4])
+    host_of = {id(d): (0 if i < 4 else 1) for i, d in enumerate(two_host_order)}
     plan = make_mesh(two_host_order, data=4, model=2)
 
-    # model-axis pairs fall within one simulated host
+    # make_mesh must keep the model axis fastest-varying over the GIVEN list
+    # (process-major ⇒ TP pairs stay within one host, DP rides across hosts)
     dev_grid = plan.mesh.devices  # [data, model]
-    for row in dev_grid:
-        host = [0 if devices.index(d) < 4 else 1 for d in row]
-        assert host[0] == host[1], "TP pair crosses the simulated host boundary"
+    for i in range(4):
+        for j in range(2):
+            assert dev_grid[i, j] is two_host_order[2 * i + j]
+        assert host_of[id(dev_grid[i, 0])] == host_of[id(dev_grid[i, 1])], (
+            "TP pair crosses the simulated host boundary"
+        )
 
     # sharding specs depend only on axis names, not device identities
     other = make_mesh(list(reversed(devices)), data=4, model=2)

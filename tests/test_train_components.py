@@ -154,6 +154,23 @@ def test_augmentation_compile_count_bounded():
     assert new_programs <= bound, new_programs
 
 
+def test_speed_grid_rates_are_gcd_friendly():
+    """Every snapped speed rate must stay gcd-friendly with the sample rate:
+    a bare int() truncation once produced 15399 (coprime with 16000), whose
+    gcd-reduced polyphase kernel is ~1 GB and minutes to build."""
+    import math
+
+    from stutter_tpu.train.augment import SPEED_GRID_POINTS, AugmentConfig
+
+    for cfg in (AugmentConfig.balanced(), AugmentConfig.conservative()):
+        for f in np.linspace(*cfg.speed_range, SPEED_GRID_POINTS):
+            new_sr = max(50, int(round(16000 * f / 50.0)) * 50)
+            if new_sr == 16000:
+                continue
+            g = math.gcd(16000, new_sr)
+            assert max(16000, new_sr) // g <= 400, (f, new_sr)
+
+
 def test_pitch_shift_moves_tone():
     from stutter_tpu.ops.pitch import pitch_shift
 
