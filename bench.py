@@ -131,7 +131,7 @@ def main() -> None:
     t_enc = chain_time(encoder_only, (bench_params, hidden, fl))
     flops = enc_flops + stem_flops
 
-    whisper_tp = _whisper_encoder_throughput()
+    whisper_enc_tp, whisper_extract_tp = _whisper_throughputs()
 
     result = {
         "metric": "wavlm_large_extraction_throughput",
@@ -149,49 +149,55 @@ def main() -> None:
             "other": round((t_step - t_stem - t_enc) * 1e3, 2),
             "full": round(t_step * 1e3, 2),
         },
-        "whisper_large_encoder_audio_sec_per_sec": whisper_tp,
+        "whisper_large_encoder_audio_sec_per_sec": whisper_enc_tp,
+        "whisper_large_extract_audio_sec_per_sec": whisper_extract_tp,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
 
 
-def _whisper_encoder_throughput(batch: int = 8, iters: int = 5) -> float:
-    """Secondary headline: whisper-large encoder path (30 s mel per clip)."""
-    import time
+def _whisper_throughputs(batch: int = 8) -> tuple[float, float]:
+    """(encoder-only, full-extraction) whisper-large throughput.
 
+    encoder-only is the BASELINE headline; full extraction is the real C7
+    surface — mel -> encoder (pooled last-3 taps in-scan) -> token-id-0
+    decoder step (last-3 single-token taps)."""
     import jax
     import jax.numpy as jnp
 
     from stutter_tpu.extract.pipeline import cast_params_for_preset
     from stutter_tpu.models import WhisperConfig, init_whisper_params
-    from stutter_tpu.models.whisper import whisper_encoder_forward
+    from stutter_tpu.models.whisper import whisper_decoder_step, whisper_encoder_forward
     from stutter_tpu.ops.logmel_pallas import whisper_log_mel_pallas
+    from stutter_tpu.utils.benchmarking import chain_time
 
     cfg = WhisperConfig.large()
     params = cast_params_for_preset(init_whisper_params(jax.random.key(0), cfg), "fast")
+    sel = jnp.asarray((cfg.encoder_layers, cfg.encoder_layers - 1,
+                       cfg.encoder_layers - 2))
+    fast = dict(precision=jax.lax.Precision.DEFAULT, activation_dtype=jnp.bfloat16)
 
-    def fn(p, waves):
+    @jax.jit
+    def enc_only(p, waves):
         mel = whisper_log_mel_pallas(waves)
-        _, states = whisper_encoder_forward(
-            p, mel, cfg, jax.lax.Precision.DEFAULT, jnp.bfloat16
-        )
-        sel = states[jnp.asarray((cfg.encoder_layers, cfg.encoder_layers - 1,
-                                  cfg.encoder_layers - 2))]
-        return jnp.mean(sel.astype(jnp.float32), axis=2)
+        _, states = whisper_encoder_forward(p, mel, cfg, **fast)
+        return jnp.sum(jnp.mean(states[sel].astype(jnp.float32), axis=2))
 
-    f = jax.jit(fn)
+    @jax.jit
+    def extract(p, waves):
+        mel = whisper_log_mel_pallas(waves)
+        enc_last, pooled = whisper_encoder_forward(
+            p, mel, cfg, **fast,
+            hidden_reducer=lambda h: jnp.mean(h.astype(jnp.float32), axis=1),
+        )
+        _, dec_states = whisper_decoder_step(p, enc_last, 0, cfg, **fast)
+        return jnp.sum(pooled[sel]) + jnp.sum(dec_states[sel].astype(jnp.float32))
+
     rs = np.random.RandomState(0)
     waves = jax.device_put((rs.randn(batch, 480000) * 0.1).astype(np.float32))
-    np.asarray(f(params, waves))
-    t0 = time.perf_counter()
-    prev = f(params, waves)
-    for _ in range(iters - 1):
-        cur = f(params, waves)
-        np.asarray(prev)
-        prev = cur
-    np.asarray(prev)
-    wall = time.perf_counter() - t0
-    return round(batch * 30.0 * iters / wall, 2)
+    t_enc = chain_time(enc_only, (params, waves), iters=5)
+    t_ext = chain_time(extract, (params, waves), iters=5)
+    return round(batch * 30.0 / t_enc, 2), round(batch * 30.0 / t_ext, 2)
 
 
 if __name__ == "__main__":

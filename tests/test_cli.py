@@ -95,3 +95,51 @@ def test_grid_cli_bool_flags():
     assert args.use_smote is False  # reference's type=bool bug fixed
     assert args.use_augmentation is False
     assert args.use_class_weights is True
+
+
+def test_extract_wavlm_cli_tp(corpus, tmp_path, monkeypatch):
+    """Full CLI path with an explicit DP x TP mesh (--devices 4 --tp 2) on
+    the virtual 8-CPU mesh: build_mesh -> TP-sharded extractor -> store."""
+    from stutter_tpu.models import WavLMConfig
+
+    monkeypatch.setattr(
+        WavLMConfig, "base", staticmethod(lambda: WavLMConfig.tiny(64, 2, 4))
+    )
+    from stutter_tpu.cli.extract_wavlm import main
+
+    out = str(tmp_path / "emb_tp" / "wavlm")
+    rc = main([
+        "--data_dir", corpus, "--output_dir", out,
+        "--model_name", "microsoft/wavlm-base", "--random_init",
+        "--devices", "4", "--tp", "2", "--audio_budget", "32",
+    ])
+    assert rc == 0
+    for split in ("train", "test", "devel"):
+        d = os.path.join(out, split)
+        npys = [f for f in os.listdir(d) if f.endswith(".npy")]
+        assert npys
+        for f in npys:
+            a = np.load(os.path.join(d, f))
+            assert np.isfinite(a).all() and a.shape[1] == 64
+
+
+def test_finetune_cli(corpus, tmp_path, monkeypatch):
+    """End-to-end fine-tune CLI smoke: trains with the valid-row mask (pad
+    rows excluded from loss) and writes results + model artifacts."""
+    from stutter_tpu.models import WavLMConfig
+
+    monkeypatch.setattr(
+        WavLMConfig, "base", staticmethod(lambda: WavLMConfig.tiny(32, 2, 4))
+    )
+    from stutter_tpu.cli.finetune import main
+
+    results = str(tmp_path / "ft_results")
+    rc = main([
+        "--data_dir", corpus, "--results_dir", results,
+        "--model_name", "microsoft/wavlm-base", "--random_init",
+        "--epochs", "1", "--batch_size", "8", "--max_length", "4.0",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(results, "finetune_results.json"))
+    saved = [f for f in os.listdir(results) if f.endswith((".joblib", ".json"))]
+    assert saved
