@@ -67,17 +67,32 @@ def main() -> None:
 
     # fidelity check on a small slice (f32/HIGHEST as reference numerics)
     small_w, small_l = waves_d[:4], lengths_d[:4]
-    emb_fast = np.asarray(fast(fast_params, small_w, small_l), np.float64)
     emb_exact = np.asarray(exact(params, small_w, small_l), np.float64)
-    cos = []
-    for s in range(emb_fast.shape[0]):
-        for b in range(emb_fast.shape[1]):
-            a_v, b_v = emb_fast[s, b], emb_exact[s, b]
-            cos.append(1.0 - np.dot(a_v, b_v) / (np.linalg.norm(a_v) * np.linalg.norm(b_v)))
-    fidelity = float(np.max(cos))
-    preset = "fast" if fidelity <= 1e-3 else "fidelity"
-    bench_fn = fast if preset == "fast" else exact
-    bench_params = fast_params if preset == "fast" else params
+
+    def max_cosine_distance(emb):
+        cos = []
+        for s in range(emb.shape[0]):
+            for b in range(emb.shape[1]):
+                a_v, b_v = emb[s, b], emb_exact[s, b]
+                cos.append(1.0 - np.dot(a_v, b_v) / (np.linalg.norm(a_v) * np.linalg.norm(b_v)))
+        return float(np.max(cos))
+
+    fidelity = max_cosine_distance(np.asarray(fast(fast_params, small_w, small_l), np.float64))
+    # turbo preset: int8 dynamic-quant GEMMs (ops/quant.py). Fidelity is
+    # MEASURED against the same f32 reference at bench time — the headline
+    # uses the fastest preset whose measured cosine distance meets the 1e-3
+    # bar, so if int8 error ever exceeds it on a given checkpoint the bench
+    # self-falls-back to bf16 fast (measured on random-init large: 2.7e-4).
+    turbo_params = cast_params_for_preset(params, "turbo")
+    turbo_fidelity = max_cosine_distance(
+        np.asarray(fast(turbo_params, small_w, small_l), np.float64))
+
+    if turbo_fidelity <= 1e-3:
+        preset, bench_fn, bench_params = "turbo", fast, turbo_params
+    elif fidelity <= 1e-3:
+        preset, bench_fn, bench_params = "fast", fast, fast_params
+    else:
+        preset, bench_fn, bench_params = "fidelity", exact, params
 
     # warmup/compile at the bench shape; force with a host fetch (on tunneled
     # dev platforms block_until_ready alone is unreliable)
@@ -104,8 +119,8 @@ def main() -> None:
     from stutter_tpu.models.wavlm import conv_feature_encoder, wavlm_encoder
     from stutter_tpu.utils.benchmarking import V5E_BF16_PEAK, chain_time, wavlm_flops
 
-    adt = jnp.bfloat16 if preset == "fast" else jnp.float32
-    prec = jax.lax.Precision.DEFAULT if preset == "fast" else jax.lax.Precision.HIGHEST
+    adt = jnp.float32 if preset == "fidelity" else jnp.bfloat16
+    prec = jax.lax.Precision.HIGHEST if preset == "fidelity" else jax.lax.Precision.DEFAULT
 
     @jax.jit
     def stem_only(p, w, l):
@@ -131,7 +146,29 @@ def main() -> None:
     t_enc = chain_time(encoder_only, (bench_params, hidden, fl))
     flops = enc_flops + stem_flops
 
-    whisper_enc_tp, whisper_extract_tp = _whisper_throughputs()
+    # bf16-fast comparison point when turbo is the headline (and vice versa):
+    # the non-headline preset's throughput, same dispatch-overlap loop
+    alt_params = fast_params if preset == "turbo" else turbo_params
+    np.asarray(fast(alt_params, waves_d, lengths_d))  # warm/compile
+    alt_iters = 10
+    t0 = time.perf_counter()
+    prev = fast(alt_params, waves_d, lengths_d)
+    for _ in range(alt_iters - 1):
+        cur = fast(alt_params, waves_d, lengths_d)
+        np.asarray(prev)
+        prev = cur
+    np.asarray(prev)
+    t_alt = (time.perf_counter() - t0) / alt_iters
+    alt_tp = round(batch * (n_samples / sr) / t_alt, 2)
+    fast_tp, turbo_tp = (alt_tp, round(throughput, 2)) if preset == "turbo" \
+        else (round(throughput, 2), alt_tp)
+
+    # free the wavlm device trees before the whisper-large section — three
+    # whisper param trees (f32 6.2 GB + bf16 3.1 + int8 1.6) plus these
+    # otherwise exhaust the 16 GB HBM
+    del bench_params, alt_params, fast_params, turbo_params, params
+    del waves_d, lengths_d, hidden, fl, prev, cur
+    whisper_stats = _whisper_throughputs()
 
     result = {
         "metric": "wavlm_large_extraction_throughput",
@@ -142,6 +179,8 @@ def main() -> None:
         "fidelity_cosine_distance_fast_vs_f32": fidelity,
         "batch": batch,
         "clip_seconds": clip_s,
+        # bf16-peak-relative model FLOP utilization; >0.5 with an int8
+        # headline means the int8 MXU path is beating what bf16 peak allows
         "mfu": round(flops / t_step / V5E_BF16_PEAK, 3),
         "stage_ms": {
             "stem": round(t_stem * 1e3, 2),
@@ -149,19 +188,22 @@ def main() -> None:
             "other": round((t_step - t_stem - t_enc) * 1e3, 2),
             "full": round(t_step * 1e3, 2),
         },
-        "whisper_large_encoder_audio_sec_per_sec": whisper_enc_tp,
-        "whisper_large_extract_audio_sec_per_sec": whisper_extract_tp,
+        "fast_audio_sec_per_sec": fast_tp,
+        "turbo_audio_sec_per_sec": turbo_tp,
+        "turbo_fidelity_cosine_distance_vs_f32": turbo_fidelity,
+        **whisper_stats,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
 
 
-def _whisper_throughputs(batch: int = 8) -> tuple[float, float]:
-    """(encoder-only, full-extraction) whisper-large throughput.
+def _whisper_throughputs(batch: int = 8) -> dict:
+    """Whisper-large throughput: fast + turbo, encoder-only and full extract.
 
     encoder-only is the BASELINE headline; full extraction is the real C7
     surface — mel -> encoder (pooled last-3 taps in-scan) -> token-id-0
-    decoder step (last-3 single-token taps)."""
+    decoder step (last-3 single-token taps). Turbo fidelity is measured
+    against the f32/HIGHEST reference on the pooled extraction outputs."""
     import jax
     import jax.numpy as jnp
 
@@ -172,7 +214,12 @@ def _whisper_throughputs(batch: int = 8) -> tuple[float, float]:
     from stutter_tpu.utils.benchmarking import chain_time
 
     cfg = WhisperConfig.large()
-    params = cast_params_for_preset(init_whisper_params(jax.random.key(0), cfg), "fast")
+    params_f32 = init_whisper_params(jax.random.key(0), cfg)
+    params = cast_params_for_preset(params_f32, "fast")
+    # quantize from the bf16 tree (not f32): halves the cast-time temporaries;
+    # the int8 scale from a bf16 absmax differs negligibly (<0.4% of a scale
+    # whose own quantization step is ~0.8%)
+    params_turbo = cast_params_for_preset(params, "turbo")
     sel = jnp.asarray((cfg.encoder_layers, cfg.encoder_layers - 1,
                        cfg.encoder_layers - 2))
     fast = dict(precision=jax.lax.Precision.DEFAULT, activation_dtype=jnp.bfloat16)
@@ -183,21 +230,53 @@ def _whisper_throughputs(batch: int = 8) -> tuple[float, float]:
         _, states = whisper_encoder_forward(p, mel, cfg, **fast)
         return jnp.sum(jnp.mean(states[sel].astype(jnp.float32), axis=2))
 
-    @jax.jit
-    def extract(p, waves):
+    def extract_fn(p, waves, opts):
         mel = whisper_log_mel_pallas(waves)
         enc_last, pooled = whisper_encoder_forward(
-            p, mel, cfg, **fast,
+            p, mel, cfg, **opts,
             hidden_reducer=lambda h: jnp.mean(h.astype(jnp.float32), axis=1),
         )
-        _, dec_states = whisper_decoder_step(p, enc_last, 0, cfg, **fast)
-        return jnp.sum(pooled[sel]) + jnp.sum(dec_states[sel].astype(jnp.float32))
+        _, dec_states = whisper_decoder_step(p, enc_last, 0, cfg, **opts)
+        return pooled[sel], dec_states[sel].astype(jnp.float32)[:, :, 0, :]
+
+    @jax.jit
+    def extract(p, waves):
+        enc, dec = extract_fn(p, waves, fast)
+        return jnp.sum(enc) + jnp.sum(dec)
 
     rs = np.random.RandomState(0)
     waves = jax.device_put((rs.randn(batch, 480000) * 0.1).astype(np.float32))
+    out = {}
+
+    # turbo fidelity vs f32/HIGHEST on a 2-clip slice of the real extraction
+    # outputs (pooled encoder taps + single-token decoder taps) — done FIRST
+    # so the 6.2 GB f32 tree can be freed before the throughput loops
+    small = waves[:2]
+    exact = dict(precision=jax.lax.Precision.HIGHEST, activation_dtype=jnp.float32)
+    enc_ref, dec_ref = jax.jit(lambda p, w: extract_fn(p, w, exact))(params_f32, small)
+    enc_ref, dec_ref = np.asarray(enc_ref, np.float64), np.asarray(dec_ref, np.float64)
+    del params_f32
+    enc_t, dec_t = jax.jit(lambda p, w: extract_fn(p, w, fast))(params_turbo, small)
+    worst = 0.0
+    for ref, got in ((enc_ref, enc_t), (dec_ref, dec_t)):
+        got = np.asarray(got, np.float64)
+        for s in range(ref.shape[0]):
+            for b in range(ref.shape[1]):
+                u, v = ref[s, b], got[s, b]
+                worst = max(worst, 1.0 - u @ v / (np.linalg.norm(u) * np.linalg.norm(v)))
+    out["whisper_turbo_fidelity_cosine_distance_vs_f32"] = worst
+
     t_enc = chain_time(enc_only, (params, waves), iters=5)
     t_ext = chain_time(extract, (params, waves), iters=5)
-    return round(batch * 30.0 / t_enc, 2), round(batch * 30.0 / t_ext, 2)
+    out["whisper_large_encoder_audio_sec_per_sec"] = round(batch * 30.0 / t_enc, 2)
+    out["whisper_large_extract_audio_sec_per_sec"] = round(batch * 30.0 / t_ext, 2)
+
+    # turbo: same program over int8 params (retrace on the new pytree)
+    t_enc = chain_time(enc_only, (params_turbo, waves), iters=5)
+    t_ext = chain_time(extract, (params_turbo, waves), iters=5)
+    out["whisper_turbo_encoder_audio_sec_per_sec"] = round(batch * 30.0 / t_enc, 2)
+    out["whisper_turbo_extract_audio_sec_per_sec"] = round(batch * 30.0 / t_ext, 2)
+    return out
 
 
 if __name__ == "__main__":

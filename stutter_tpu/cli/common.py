@@ -48,8 +48,10 @@ def add_mesh_args(parser: argparse.ArgumentParser) -> None:
                         help="Tensor-parallel size (model axis); devices/tp is the "
                              "data-parallel size")
     parser.add_argument("--preset", type=str, default="fast",
-                        choices=["fast", "fidelity"],
-                        help="Numerics preset: fast=bf16 MXU, fidelity=f32 HIGHEST")
+                        choices=["fast", "fidelity", "turbo"],
+                        help="Numerics preset: fast=bf16 MXU, fidelity=f32 HIGHEST, "
+                             "turbo=int8 dynamic-quant GEMMs (2x MXU rate; fidelity "
+                             "measured, not guaranteed <=1e-3; DP only)")
     parser.add_argument("--device", type=str, default=None,
                         help="Accepted for reference compatibility; ignored "
                              "(device selection is mesh-based on TPU)")

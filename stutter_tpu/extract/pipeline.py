@@ -54,6 +54,10 @@ PRESETS = {
     "fidelity": dict(precision=jax.lax.Precision.HIGHEST, activation_dtype=jnp.float32),
     # fast: bf16 activations with f32 accumulation/LN/softmax — MXU peak rate.
     "fast": dict(precision=jax.lax.Precision.DEFAULT, activation_dtype=jnp.bfloat16),
+    # turbo: fast + int8 dynamic-quant encoder/decoder GEMMs (ops/quant.py)
+    # on the 2x-rate int8 MXU path. Inference-only; fidelity is measured and
+    # reported by bench.py rather than guaranteed <=1e-3.
+    "turbo": dict(precision=jax.lax.Precision.DEFAULT, activation_dtype=jnp.bfloat16),
 }
 
 
@@ -61,15 +65,36 @@ def cast_params_for_preset(params, preset: str):
     """fast preset: bf16 param tree (f32 biases otherwise upcast every
     downstream matmul into the slow f32 multi-pass MXU mode — measured +40%
     step time on whisper-large). LN/softmax still compute in f32 internally;
-    fidelity tests bound the bf16 error well under the 1e-3 cosine bar."""
-    if preset != "fast":
+    fidelity tests bound the bf16 error well under the 1e-3 cosine bar.
+
+    turbo preset: the fast cast, then the transformer-layer projection/FFN
+    weights (WavLM q/k/v/o + ff, Whisper attn/xattn + fc) are replaced by
+    int8 {q, s} pairs; ops/quant.dense dispatches on that structure inside
+    the layer bodies. Conv stems, biases, norms and embeddings stay bf16."""
+    if preset not in ("fast", "turbo"):
         return params
-    return jax.tree.map(
+    params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16)
         if hasattr(x, "dtype") and x.dtype == jnp.float32
         else x,
         params,
     )
+    if preset == "turbo":
+        from stutter_tpu.ops.quant import (
+            WAVLM_QUANT_KEYS,
+            WHISPER_QUANT_KEYS,
+            quantize_layer_stack,
+        )
+
+        params = dict(params)
+        for block, keys in (("encoder", WAVLM_QUANT_KEYS + WHISPER_QUANT_KEYS),
+                            ("decoder", WHISPER_QUANT_KEYS)):
+            if block in params and isinstance(params[block], dict) \
+                    and "layers" in params[block]:
+                params[block] = dict(params[block])
+                params[block]["layers"] = quantize_layer_stack(
+                    params[block]["layers"], keys)
+    return params
 
 
 class WavLMExtractor:
@@ -109,9 +134,13 @@ class WavLMExtractor:
         # host link) and is LOSSLESS for int16-decoded wavs (i/32768 * 32768
         # round-trips exactly); resampled audio quantizes at ~3e-5 absolute,
         # ~100x below bf16's own rounding. Fidelity preset keeps f32.
-        self._transfer_i16 = preset == "fast"
-        params = cast_params_for_preset(params, preset)
+        self._transfer_i16 = preset in ("fast", "turbo")
         tp = mesh is not None and mesh.model_size > 1
+        if tp and preset == "turbo":
+            raise ValueError(
+                "turbo preset is DP/single-chip only: int8 {q,s} weights have "
+                "no tensor-parallel partition spec (use preset='fast' with TP)")
+        params = cast_params_for_preset(params, preset)
         if tp:
             # Megatron-style TP over the encoder weights (parallel/sharding.py)
             from stutter_tpu.parallel.sharding import shard_params, wavlm_param_spec
@@ -196,9 +225,13 @@ class WhisperExtractor:
             1, min(cfg.max_source_positions, int(n_samples) // (WHISPER_HOP * 2))
         )
         opts = PRESETS[preset]
-        self._transfer_i16 = preset == "fast"  # see WavLMExtractor
-        params = cast_params_for_preset(params, preset)
+        self._transfer_i16 = preset in ("fast", "turbo")  # see WavLMExtractor
         tp = mesh is not None and mesh.model_size > 1
+        if tp and preset == "turbo":
+            raise ValueError(
+                "turbo preset is DP/single-chip only: int8 {q,s} weights have "
+                "no tensor-parallel partition spec (use preset='fast' with TP)")
+        params = cast_params_for_preset(params, preset)
         if tp:
             # Megatron-style TP over encoder+decoder weights (parallel/sharding)
             from stutter_tpu.parallel.sharding import shard_params, whisper_param_spec

@@ -354,10 +354,16 @@ def gated_relpos_attention(
 
     # separate q/k/v GEMMs: measured FASTER than a fused [D, 3D] GEMM here
     # (the in-scan weight concat + layout change cost more than the saved
-    # launches — 146 vs 135 ms encoder at B=128/L=160)
-    q = heads(jnp.einsum("bld,de->ble", x, layer["q_w"], precision=precision) + layer["q_b"])
-    k = heads(jnp.einsum("bld,de->ble", x, layer["k_w"], precision=precision) + layer["k_b"])
-    v = heads(jnp.einsum("bld,de->ble", x, layer["v_w"], precision=precision) + layer["v_b"])
+    # launches — 146 vs 135 ms encoder at B=128/L=160). qdense dispatches
+    # to the int8 MXU path when the preset quantized this weight (ops/quant).
+    from stutter_tpu.ops.quant import dense as qdense
+
+    # the .astype(x.dtype) is a no-op on fast/fidelity and casts the int8
+    # path's f32 dequant output back to bf16 (keeps flash-kernel dispatch
+    # and the residual stream in the activation dtype)
+    q = heads((qdense(x, layer["q_w"], precision) + layer["q_b"]).astype(x.dtype))
+    k = heads((qdense(x, layer["k_w"], precision) + layer["k_b"]).astype(x.dtype))
+    v = heads((qdense(x, layer["v_w"], precision) + layer["v_b"]).astype(x.dtype))
 
     scale = hd**-0.5
     from stutter_tpu.models.attention import _flash_available, flash_mha_bias
@@ -412,13 +418,15 @@ def gated_relpos_attention(
         attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, precision=precision)
     out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
-    return jnp.einsum("bld,de->ble", out, layer["o_w"], precision=precision) + layer["o_b"]
+    return (qdense(out, layer["o_w"], precision) + layer["o_b"]).astype(x.dtype)
 
 
 def feed_forward(layer: Params, x: jax.Array, precision) -> jax.Array:
-    h = jnp.einsum("bld,df->blf", x, layer["ff_w1"], precision=precision) + layer["ff_b1"]
+    from stutter_tpu.ops.quant import dense as qdense
+
+    h = (qdense(x, layer["ff_w1"], precision) + layer["ff_b1"]).astype(x.dtype)
     h = _gelu(h)
-    return jnp.einsum("blf,fd->bld", h, layer["ff_w2"], precision=precision) + layer["ff_b2"]
+    return (qdense(h, layer["ff_w2"], precision) + layer["ff_b2"]).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------

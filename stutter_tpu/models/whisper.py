@@ -145,11 +145,15 @@ def _attention(q_in, kv_in, p, prefix, num_heads, precision, causal=False,
     hd = D // num_heads
     scale = hd**-0.5
 
-    q = (jnp.einsum("bld,de->ble", q_in, p[f"{prefix}_q_w"], precision=precision)
-         + p[f"{prefix}_q_b"]) * scale
-    k = jnp.einsum("bld,de->ble", kv_in, p[f"{prefix}_k_w"], precision=precision)
-    v = (jnp.einsum("bld,de->ble", kv_in, p[f"{prefix}_v_w"], precision=precision)
-         + p[f"{prefix}_v_b"])
+    # qdense dispatches to the int8 MXU path when the turbo preset quantized
+    # the weight (ops/quant.py); the .astype is a no-op on fast/fidelity
+    from stutter_tpu.ops.quant import dense as qdense
+
+    q = ((qdense(q_in, p[f"{prefix}_q_w"], precision)
+          + p[f"{prefix}_q_b"]) * scale).astype(q_in.dtype)
+    k = qdense(kv_in, p[f"{prefix}_k_w"], precision).astype(kv_in.dtype)
+    v = (qdense(kv_in, p[f"{prefix}_v_w"], precision)
+         + p[f"{prefix}_v_b"]).astype(kv_in.dtype)
 
     def heads(t, L):
         return t.reshape(B, L, num_heads, hd).transpose(0, 2, 1, 3)
@@ -169,13 +173,16 @@ def _attention(q_in, kv_in, p, prefix, num_heads, precision, causal=False,
         attn = jax.nn.softmax(logits, axis=-1).astype(q_in.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, heads(v, Lk), precision=precision)
     out = out.transpose(0, 2, 1, 3).reshape(B, Lq, D)
-    return jnp.einsum("bld,de->ble", out, p[f"{prefix}_o_w"], precision=precision) + p[f"{prefix}_o_b"]
+    return (qdense(out, p[f"{prefix}_o_w"], precision)
+            + p[f"{prefix}_o_b"]).astype(q_in.dtype)
 
 
 def _ffn(x, p, precision):
-    h = jnp.einsum("bld,df->blf", x, p["fc1_w"], precision=precision) + p["fc1_b"]
+    from stutter_tpu.ops.quant import dense as qdense
+
+    h = (qdense(x, p["fc1_w"], precision) + p["fc1_b"]).astype(x.dtype)
     h = _gelu(h)
-    return jnp.einsum("blf,fd->bld", h, p["fc2_w"], precision=precision) + p["fc2_b"]
+    return (qdense(h, p["fc2_w"], precision) + p["fc2_b"]).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------

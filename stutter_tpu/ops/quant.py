@@ -1,0 +1,98 @@
+"""Int8 dynamic-quantization matmul path (the "turbo" preset).
+
+The v5e MXU runs int8 x int8 -> int32 at 2x the bf16 FLOP rate (394 TOPS vs
+197 TFLOP/s). Measured on the wavlm-large FFN chain at extraction scale
+(scripts/int8_ffn_chain_bench.py, B=128 L=144, 24 layers): 173.7 TFLOP/s in
+bf16 vs 249 TFLOP/s with the FULL dynamic-quant round trip fused in — a
+1.43x kernel speedup with ~1.1% per-GEMM relative error.
+
+Scheme (standard W8A8 dynamic quantization):
+- weights: static symmetric per-output-channel int8; scale = amax/127 over
+  the contraction axis, computed once at preset-cast time
+  (extract/pipeline.py:cast_params_for_preset)
+- activations: dynamic symmetric per-token int8; scale = amax/127 over the
+  feature axis, computed inside the jit program (XLA fuses the amax/round
+  pass with the surrounding elementwise work)
+- accumulation in int32 on the MXU (preferred_element_type), dequantized by
+  the rank-1 outer product of the two scale vectors
+
+This is an inference-only path: jnp.round has a zero gradient, so quantized
+params must never reach a training step (the fine-tune path only ever uses
+the fast/fidelity presets). Softmax, layer norms, attention logits, biases
+and residuals all stay in bf16/f32 — only the big projection/FFN GEMMs drop
+to int8, which is where the 2x MXU rate lives.
+
+No reference equivalent (the reference runs f32 torch on GPU); this is a
+beyond-parity performance feature. Fidelity is measured, not assumed:
+bench.py reports the turbo-vs-f32 embedding cosine distance next to the
+throughput, and tests/test_quant.py bounds the per-GEMM and end-to-end
+error on CPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Quantized = dict  # {"q": int8 [..., K, N], "s": f32 [..., N]}
+
+
+def quantize_weight(w: jax.Array, contract_axis: int = -2) -> Quantized:
+    """Symmetric per-output-channel int8 quantization of a dense weight.
+
+    w: [..., K, N] (leading axes = stacked layers). The scale is the absmax
+    over the contraction axis K, per output channel N, so dequantization is
+    a per-column rescale of the int32 accumulator.
+    """
+    wf = w.astype(jnp.float32)
+    s = jnp.max(jnp.abs(wf), axis=contract_axis, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": jnp.squeeze(s, axis=contract_axis)}
+
+
+def qdot(x: jax.Array, wq: jax.Array, sw: jax.Array) -> jax.Array:
+    """x [..., K] (bf16/f32) @ int8 weight [K, N] -> f32 [..., N].
+
+    Dynamically quantizes x per token (absmax over K), runs the int8 MXU
+    matmul with int32 accumulation, and dequantizes with the per-token and
+    per-channel scales. Callers add the (bf16/f32) bias and cast back to
+    the activation dtype themselves.
+    """
+    xf = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-8)
+    xq = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * s * sw
+
+
+def dense(x: jax.Array, w, precision) -> jax.Array:
+    """Dispatch a dense projection: quantized dict -> int8 path (result cast
+    back to x.dtype so downstream elementwise/gelu/flash code is unchanged);
+    plain array -> the usual einsum."""
+    if isinstance(w, dict):
+        return qdot(x, w["q"], w["s"]).astype(x.dtype)
+    return jnp.einsum("...d,de->...e", x, w, precision=precision)
+
+
+# Per-layer weight names eligible for int8 (the big GEMMs). Everything else
+# (biases, LN params, gates, rel-pos tables, conv stems) stays bf16.
+WAVLM_QUANT_KEYS = ("q_w", "k_w", "v_w", "o_w", "ff_w1", "ff_w2")
+WHISPER_QUANT_KEYS = (
+    "attn_q_w", "attn_k_w", "attn_v_w", "attn_o_w",
+    "xattn_q_w", "xattn_k_w", "xattn_v_w", "xattn_o_w",
+    "fc1_w", "fc2_w",
+)
+
+
+def quantize_layer_stack(layers: dict, keys: tuple[str, ...]) -> dict:
+    """Quantize the named weights of a stacked [N, K, M] layer pytree."""
+    out = dict(layers)
+    for k in keys:
+        if k in out and not isinstance(out[k], dict):
+            out[k] = quantize_weight(out[k])
+    return out

@@ -1,0 +1,187 @@
+"""Int8 turbo-preset tests: qdot numerics, preset casting, end-to-end error.
+
+The turbo preset (ops/quant.py) is a beyond-parity performance feature —
+W8A8 dynamic quantization of the transformer GEMMs onto the 2x-rate int8
+MXU path. These tests bound the quantization error on CPU and check the
+preset plumbing end to end (the pipeline contract is identical to fast).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stutter_tpu.ops.quant import dense, qdot, quantize_layer_stack, quantize_weight
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+def test_qdot_matches_f32_within_quant_error(rng):
+    x = jnp.asarray(rng.randn(64, 256).astype(np.float32))
+    w = jnp.asarray(rng.randn(256, 128).astype(np.float32) * 0.05)
+    qw = quantize_weight(w)
+    y = np.asarray(qdot(x, qw["q"], qw["s"]))
+    y_ref = np.asarray(x @ w)
+    rel = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+    # W8A8 symmetric quant on gaussian data: ~1% relative error per GEMM
+    assert rel < 0.025, rel
+
+
+def test_quantize_weight_stacked_layers(rng):
+    w = jnp.asarray(rng.randn(4, 32, 16).astype(np.float32))
+    qw = quantize_weight(w)
+    assert qw["q"].shape == (4, 32, 16) and qw["q"].dtype == jnp.int8
+    assert qw["s"].shape == (4, 16) and qw["s"].dtype == jnp.float32
+    # per-(layer, out-channel) scale reconstructs the column absmax at 127
+    recon = np.asarray(qw["q"]).astype(np.float32) * np.asarray(qw["s"])[:, None, :]
+    np.testing.assert_allclose(
+        np.abs(recon).max(axis=1), np.abs(np.asarray(w)).max(axis=1), rtol=1e-5
+    )
+
+
+def test_dense_dispatch(rng):
+    x = jnp.asarray(rng.randn(8, 64).astype(np.float32), jnp.bfloat16)
+    w = jnp.asarray(rng.randn(64, 32).astype(np.float32) * 0.1)
+    plain = dense(x, w.astype(jnp.bfloat16), jax.lax.Precision.DEFAULT)
+    quant = dense(x, quantize_weight(w), jax.lax.Precision.DEFAULT)
+    assert quant.dtype == jnp.bfloat16  # cast back to activation dtype
+    rel = np.linalg.norm(np.asarray(quant, np.float32) - np.asarray(plain, np.float32))
+    rel /= np.linalg.norm(np.asarray(plain, np.float32))
+    assert rel < 0.05, rel
+
+
+def test_turbo_preset_quantizes_wavlm_layers():
+    from stutter_tpu.extract.pipeline import cast_params_for_preset
+    from stutter_tpu.models import WavLMConfig, init_wavlm_params
+
+    cfg = WavLMConfig.tiny()
+    params = cast_params_for_preset(init_wavlm_params(jax.random.key(0), cfg), "turbo")
+    layers = params["encoder"]["layers"]
+    for key in ("q_w", "k_w", "v_w", "o_w", "ff_w1", "ff_w2"):
+        assert isinstance(layers[key], dict) and layers[key]["q"].dtype == jnp.int8, key
+    # everything not on the quant list stays a plain bf16 tensor
+    assert layers["q_b"].dtype == jnp.bfloat16
+    assert layers["gru_w"].dtype == jnp.bfloat16
+    assert params["feature_projection"]["w"].dtype == jnp.bfloat16
+
+
+def test_turbo_preset_quantizes_whisper_layers():
+    from stutter_tpu.extract.pipeline import cast_params_for_preset
+    from stutter_tpu.models import WhisperConfig, init_whisper_params
+
+    cfg = WhisperConfig.tiny()
+    params = cast_params_for_preset(init_whisper_params(jax.random.key(0), cfg), "turbo")
+    for block, keys in (("encoder", ("attn_q_w", "fc1_w")),
+                        ("decoder", ("attn_q_w", "xattn_k_w", "fc2_w"))):
+        layers = params[block]["layers"]
+        for key in keys:
+            assert isinstance(layers[key], dict) and layers[key]["q"].dtype == jnp.int8, (
+                block, key)
+    assert params["decoder"]["embed_tokens"].dtype == jnp.bfloat16
+
+
+def test_wavlm_turbo_forward_error_bounded(rng):
+    """End-to-end pooled-embedding cosine error of the turbo path vs f32."""
+    from stutter_tpu.extract.pipeline import cast_params_for_preset
+    from stutter_tpu.models import WavLMConfig, init_wavlm_params
+    from stutter_tpu.models.wavlm import wavlm_encode
+
+    cfg = WavLMConfig.base()
+    params = init_wavlm_params(jax.random.key(0), cfg)
+    waves = jnp.asarray(rng.randn(2, 16000).astype(np.float32) * 0.1)
+    lengths = jnp.asarray([16000, 12000], jnp.int32)
+    sel = (12, 11, 10, 6)
+
+    ref = np.asarray(wavlm_encode(
+        params, waves, cfg, sel, sample_lengths=lengths,
+        precision=jax.lax.Precision.HIGHEST, activation_dtype=jnp.float32))
+    turbo_params = cast_params_for_preset(params, "turbo")
+    got = np.asarray(wavlm_encode(
+        turbo_params, waves, cfg, sel, sample_lengths=lengths,
+        precision=jax.lax.Precision.DEFAULT, activation_dtype=jnp.bfloat16))
+
+    for s in range(ref.shape[0]):
+        for b in range(ref.shape[1]):
+            a_v, b_v = ref[s, b].astype(np.float64), got[s, b].astype(np.float64)
+            cos = 1.0 - a_v @ b_v / (np.linalg.norm(a_v) * np.linalg.norm(b_v))
+            # int8 error bar: looser than the 1e-3 fast-preset bar by design;
+            # bench.py reports the measured value on the real model
+            assert cos < 2e-2, (s, b, cos)
+
+
+def test_whisper_turbo_forward_error_bounded(rng):
+    from stutter_tpu.extract.pipeline import cast_params_for_preset
+    from stutter_tpu.models import WhisperConfig, init_whisper_params
+    from stutter_tpu.models.whisper import whisper_decoder_step, whisper_encoder_forward
+
+    cfg = WhisperConfig.tiny_official()
+    params = init_whisper_params(jax.random.key(0), cfg)
+    mel = jnp.asarray(rng.randn(2, cfg.num_mel_bins, 3000).astype(np.float32) * 0.5)
+
+    def run(p, precision, dtype):
+        last, states = whisper_encoder_forward(
+            p, mel, cfg, precision, dtype,
+            hidden_reducer=lambda h: jnp.mean(h.astype(jnp.float32), axis=1))
+        _, dec = whisper_decoder_step(p, last, 0, cfg, precision, dtype)
+        return np.asarray(states), np.asarray(dec[:, :, 0, :], np.float64)
+
+    enc_ref, dec_ref = run(params, jax.lax.Precision.HIGHEST, jnp.float32)
+    tp = cast_params_for_preset(params, "turbo")
+    enc_got, dec_got = run(tp, jax.lax.Precision.DEFAULT, jnp.bfloat16)
+
+    def max_cos(a, b):
+        worst = 0.0
+        for i in range(a.shape[0]):
+            for j in range(a.shape[1]):
+                u, v = a[i, j].astype(np.float64), b[i, j].astype(np.float64)
+                worst = max(worst, 1.0 - u @ v / (np.linalg.norm(u) * np.linalg.norm(v)))
+        return worst
+
+    assert max_cos(enc_ref, enc_got) < 2e-2
+    assert max_cos(dec_ref, dec_got) < 2e-2
+
+
+def test_turbo_pipeline_end_to_end(tmp_path, rng):
+    """The extraction pipeline contract is preset-independent."""
+    from stutter_tpu.audio.synthetic import make_synthetic_corpus
+    from stutter_tpu.extract import (
+        BucketBatcher,
+        ExtractionPipeline,
+        WavLMExtractor,
+        create_metadata_from_files,
+    )
+    from stutter_tpu.models import WavLMConfig, init_wavlm_params
+
+    root = tmp_path / "corpus"
+    make_synthetic_corpus(str(root), n_per_split={"train": 4})
+    cfg = WavLMConfig.tiny()
+    params = init_wavlm_params(jax.random.key(0), cfg)
+    pipe = ExtractionPipeline(
+        WavLMExtractor(cfg, params, preset="turbo"),
+        batcher=BucketBatcher(buckets_s=(2.0, 4.0), audio_budget_s=16.0),
+    )
+    out = tmp_path / "emb"
+    dfs = pipe.run(create_metadata_from_files(str(root), "all"), str(out))
+    assert (out / "train" / "embedding_metadata.csv").exists()
+    npys = list((out / "train").glob("layer_*_embeddings.npy"))
+    # tiny 2-layer config: [N-1, N-2, N-3, N//2] dedups to 3 distinct taps
+    assert len(npys) == 3
+    for f in npys:
+        assert np.isfinite(np.load(f)).all()
+
+
+def test_turbo_rejects_tensor_parallel():
+    from stutter_tpu.extract.pipeline import WavLMExtractor
+    from stutter_tpu.models import WavLMConfig, init_wavlm_params
+    from stutter_tpu.parallel.mesh import make_mesh
+
+    cfg = WavLMConfig.tiny()
+    params = init_wavlm_params(jax.random.key(0), cfg)
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+    mesh = make_mesh(model=2)
+    with pytest.raises(ValueError, match="turbo"):
+        WavLMExtractor(cfg, params, mesh=mesh, preset="turbo")
