@@ -226,9 +226,14 @@ def _whisper_throughputs(batch: int = 8) -> dict:
 
     @jax.jit
     def enc_only(p, waves):
+        # pool in-scan exactly like the extraction path — materializing the
+        # [N+1, B, 1500, D] stack instead costs ~8% (scripts/whisper_batch_retune)
         mel = whisper_log_mel_pallas(waves)
-        _, states = whisper_encoder_forward(p, mel, cfg, **fast)
-        return jnp.sum(jnp.mean(states[sel].astype(jnp.float32), axis=2))
+        _, pooled = whisper_encoder_forward(
+            p, mel, cfg, **fast,
+            hidden_reducer=lambda h: jnp.mean(h.astype(jnp.float32), axis=1),
+        )
+        return jnp.sum(pooled[sel])
 
     def extract_fn(p, waves, opts):
         mel = whisper_log_mel_pallas(waves)

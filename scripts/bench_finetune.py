@@ -1,0 +1,67 @@
+"""WavLM-Large fine-tune training-step throughput on one v5e chip.
+
+Measures the steady-state jit train step (forward + backward + adamw update,
+remat on the encoder scan) at the largest batch the remote compile service
+accepts (16 — batch 32 500s server-side, CLAUDE.md). Reports audio-s/s and
+a model-FLOP utilization estimate (3x forward FLOPs for fwd+bwd; remat adds
+a 4th forward pass which the MFU figure deliberately does NOT credit, so it
+is a conservative lower bound).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    from stutter_tpu.cli.common import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+
+    from stutter_tpu.models.wavlm import WavLMConfig
+    from stutter_tpu.train.finetune import FinetuneConfig, FinetuneTrainer
+    from stutter_tpu.utils.benchmarking import V5E_BF16_PEAK, wavlm_flops
+
+    model_cfg = WavLMConfig.large()
+    cfg = FinetuneConfig(model=model_cfg, n_classes=8)
+    trainer = FinetuneTrainer(cfg)
+
+    batch, clip_s, sr = 16, 3.0, 16000
+    n = int(clip_s * sr)
+    rs = np.random.RandomState(0)
+    waves = (rs.randn(batch, n) * 0.1).astype(np.float32)
+    lengths = np.full((batch,), n, np.int32)
+    labels = rs.randint(0, 8, batch).astype(np.int32)
+    cw = np.ones((8,), np.float32)
+
+    import time
+
+    trainer.step(waves, lengths, labels, cw)  # compile + first exec
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        m = trainer.step(waves, lengths, labels, cw)
+    t = (time.perf_counter() - t0) / iters
+
+    enc_flops, stem_flops, _ = wavlm_flops(model_cfg, batch, n)
+    fwd = enc_flops + stem_flops
+    out = {
+        "metric": "wavlm_large_finetune_step_throughput",
+        "batch": batch,
+        "step_ms": round(t * 1e3, 2),
+        "audio_s_per_s": round(batch * clip_s / t, 1),
+        "mfu_lower_bound": round(3 * fwd / t / V5E_BF16_PEAK, 3),
+        "loss": float(m["loss"]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
