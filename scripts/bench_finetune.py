@@ -44,10 +44,13 @@ def main():
     import time
 
     trainer.step(waves, lengths, labels, cw)  # compile + first exec
+    # async-dispatch chain (sync=False): params/opt_state flow device-side
+    # step to step; one final metrics fetch — no per-step relay round trip
     iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        m = trainer.step(waves, lengths, labels, cw)
+    for _ in range(iters - 1):
+        trainer.step(waves, lengths, labels, cw, sync=False)
+    m = trainer.step(waves, lengths, labels, cw)
     t = (time.perf_counter() - t0) / iters
 
     enc_flops, stem_flops, _ = wavlm_flops(model_cfg, batch, n)

@@ -174,7 +174,13 @@ class FinetuneTrainer:
         self._eval_step = jax.jit(make_eval_step(cfg))
         self._rng = jax.random.key(cfg.seed + 1)
 
-    def step(self, waves, lengths, labels, class_weights, valid=None) -> dict[str, float]:
+    def step(self, waves, lengths, labels, class_weights, valid=None,
+             sync: bool = True):
+        """One training step. sync=True returns host floats (blocks on the
+        device). sync=False returns the live device aux dict — the step is
+        dispatched asynchronously and the caller fetches metrics when it
+        wants (e.g. every K steps), so the hot loop never stalls on a
+        device->host round trip per step."""
         from stutter_tpu.parallel.mesh import shard_batch
 
         if valid is None:
@@ -189,6 +195,8 @@ class FinetuneTrainer:
             self.params, self.opt_state, waves, lengths, labels, valid,
             jnp.asarray(class_weights, jnp.float32), key,
         )
+        if not sync:
+            return aux
         return {k: float(v) for k, v in aux.items()}
 
     def predict(self, waves, lengths) -> np.ndarray:
