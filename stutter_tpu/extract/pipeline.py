@@ -94,6 +94,10 @@ def cast_params_for_preset(params, preset: str):
                 params[block] = dict(params[block])
                 params[block]["layers"] = quantize_layer_stack(
                     params[block]["layers"], keys)
+        # The conv stem deliberately stays bf16: quantizing it (im2col +
+        # int8 GEMM, quantize_conv_weight) measured stem 21.9 -> 64.2 ms —
+        # the early convs are HBM-traffic-bound on [B, ~9.6k, 512] frames
+        # and a dynamic-quant pass there ADDS elementwise traffic.
     return params
 
 

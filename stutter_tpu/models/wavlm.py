@@ -183,11 +183,36 @@ def _gelu(x: jax.Array) -> jax.Array:
     return jax.nn.gelu(x, approximate=False)
 
 
-def _stem_conv(x: jax.Array, w_oih: jax.Array, stride: int, precision) -> jax.Array:
+def _stem_im2col(x: jax.Array, k: int, stride: int) -> jax.Array:
+    """[B, T, C] -> [B, L, k*C] frames via strided reshapes (no gather).
+
+    General for any (k, stride): reshape time into stride-sized blocks, then
+    window t's taps are consecutive blocks starting at block t — each part j
+    is a shifted slice contributing min(stride, k - j*stride) taps. The
+    frames' last axis is (tap, channel) flattened == the HIO weight reshape.
+    """
+    B, T, C = x.shape
+    L = (T - k) // stride + 1
+    nb = -(-k // stride)  # reshape blocks each output window touches
+    need = (L - 1 + nb) * stride
+    if need > T:  # pad; padded samples sit past every true tap (i < k)
+        x = jnp.pad(x, ((0, 0), (0, need - T), (0, 0)))
+    xr = x[:, :need, :].reshape(B, need // stride, stride * C)
+    parts = [xr[:, j : j + L, : min(stride, k - j * stride) * C] for j in range(nb)]
+    return parts[0] if nb == 1 else jnp.concatenate(parts, axis=-1)
+
+
+def _stem_conv(x: jax.Array, w_oih, stride: int, precision) -> jax.Array:
     """One stem Conv1d [B, T, C] -> [B, L, O], MXU-shaped.
 
-    Two cases are re-expressed as plain matmuls (measured on v5e, B=128,
-    3.2 s clips — scripts/profile_stem.py):
+    Quantized weights ({"q": int8 [k*C, O], "s": [O]}) take the im2col +
+    int8-GEMM path. Measured NEGATIVE end-to-end (stem 21.9 -> 64.2 ms at
+    B=128): the early convs are traffic-bound on [B, ~9.6k, C] frames and
+    the per-token dynamic-quant pass adds elementwise traffic — so the
+    turbo preset does NOT quantize the stem; the path stays for experiments.
+
+    For plain weights, two cases are re-expressed as matmuls (measured on
+    v5e, B=128, 3.2 s clips — scripts/profile_stem.py):
     - C == 1 (the first conv): a 1-input-channel conv runs at ~0.3 TFLOP/s —
       the MXU contracts over a size-1 (padded to 8) axis. im2col via
       shifted reshapes gives a [B*L, k] x [k, O] matmul instead.
@@ -197,19 +222,15 @@ def _stem_conv(x: jax.Array, w_oih: jax.Array, stride: int, precision) -> jax.Ar
     ~90-120 TFLOP/s, and im2col would 1.5x their HBM traffic).
     """
     B, T, C = x.shape
+    if isinstance(w_oih, dict):
+        from stutter_tpu.ops.quant import qdot
+
+        k = w_oih["q"].shape[0] // C
+        frames = _stem_im2col(x, k, stride)
+        return qdot(frames, w_oih["q"], w_oih["s"]).astype(x.dtype)
     O, _, k = w_oih.shape
     if C == 1 or stride == k:
-        L = (T - k) // stride + 1
-        nb = -(-k // stride)  # reshape blocks each output window touches
-        need = (L - 1 + nb) * stride
-        if need > T:  # pad; padded samples sit past every true tap (i < k)
-            x = jnp.pad(x, ((0, 0), (0, need - T), (0, 0)))
-        xr = x[:, :need, :].reshape(B, need // stride, stride * C)
-        parts = [
-            xr[:, j : j + L, : min(stride, k - j * stride) * C] for j in range(nb)
-        ]
-        frames = parts[0] if nb == 1 else jnp.concatenate(parts, axis=-1)
-        # frames last axis is (tap i, channel c) flattened == HIO reshape
+        frames = _stem_im2col(x, k, stride)
         w_flat = jnp.transpose(w_oih, (2, 1, 0)).reshape(k * C, O).astype(x.dtype)
         return jax.lax.dot_general(
             frames, w_flat, (((2,), (0,)), ((), ())), precision=precision

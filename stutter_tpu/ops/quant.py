@@ -79,6 +79,18 @@ def dense(x: jax.Array, w, precision) -> jax.Array:
     return jnp.einsum("...d,de->...e", x, w, precision=precision)
 
 
+def quantize_conv_weight(w_oih: jax.Array) -> Quantized:
+    """Quantize a stem Conv1d weight [O, I, k] into the im2col matmul layout.
+
+    Returns {"q": int8 [k*I, O], "s": f32 [O]} — the flattened (tap, channel)
+    contraction layout that conv_feature_encoder's strided-reshape im2col
+    produces, so the conv becomes one int8 GEMM (see models/wavlm.py
+    _stem_conv). k is recoverable as q.shape[0] // in_channels."""
+    O, I, k = w_oih.shape
+    w_flat = jnp.transpose(w_oih, (2, 1, 0)).reshape(k * I, O)
+    return quantize_weight(w_flat)
+
+
 # Per-layer weight names eligible for int8 (the big GEMMs). Everything else
 # (biases, LN params, gates, rel-pos tables, conv stems) stays bf16.
 WAVLM_QUANT_KEYS = ("q_w", "k_w", "v_w", "o_w", "ff_w1", "ff_w2")
