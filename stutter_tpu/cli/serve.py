@@ -1,0 +1,109 @@
+"""Online embedding server CLI.
+
+No reference equivalent — the deployment-facing entry point. Reads JSONL
+requests ({"id": ..., "path": ...} or bare wav paths) from stdin or a file,
+batches them with a latency deadline onto the same jit extraction programs
+the batch pipeline uses, and writes JSONL responses to stdout (embeddings
+inline) or .npy files under --output_dir (responses then carry file paths).
+
+    echo '{"id": "a", "path": "/data/clip.wav"}' | \
+      python -m stutter_tpu.cli.serve --model_type wavlm --random_init
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+from stutter_tpu.cli.common import add_mesh_args, build_mesh
+from stutter_tpu.utils.logging import setup_logging
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="Online embedding server")
+    parser.add_argument("--model_type", type=str, default="wavlm",
+                        choices=["wavlm", "wavlm_large", "whisper", "whisper_large_fixed"])
+    parser.add_argument("--model_name", type=str, default=None,
+                        help="HF checkpoint path/name (default by model_type)")
+    parser.add_argument("--input", type=str, default="-",
+                        help="JSONL request source ('-' = stdin)")
+    parser.add_argument("--output_dir", type=str, default=None,
+                        help="Write each clip's embeddings as .npy here instead "
+                             "of inlining them in the response JSON")
+    parser.add_argument("--max_wait_ms", type=float, default=250.0,
+                        help="Max time the first queued request waits for batchmates")
+    parser.add_argument("--max_clips", type=int, default=64,
+                        help="Max clips gathered per serving round")
+    parser.add_argument("--random_init", action="store_true")
+    add_mesh_args(parser)
+    return parser.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    logger = setup_logging("serve")
+    from stutter_tpu.cli.train import build_extractor_for
+    from stutter_tpu.extract.batcher import BucketBatcher
+    from stutter_tpu.serve import EmbeddingServer, jsonl_requests
+
+    mesh = build_mesh(args)
+    model_name = args.model_name or (
+        "microsoft/wavlm-large" if "wavlm" in args.model_type else "openai/whisper-large"
+    )
+    extractor = build_extractor_for(
+        args.model_type, model_name, args.random_init, mesh, args.preset
+    )
+    if extractor is None:
+        logger.error("unsupported model_type %s", args.model_type)
+        return 1
+
+    server = EmbeddingServer(
+        extractor,
+        batcher=BucketBatcher(
+            audio_budget_s=args.max_clips * 3.0, max_batch=args.max_clips,
+            batch_multiple=mesh.data_size if mesh else 1,
+            frame_align=getattr(extractor, "frame_align", None),
+        ),
+        max_wait_s=args.max_wait_ms / 1e3,
+        max_clips=args.max_clips,
+    )
+
+    if args.output_dir:
+        os.makedirs(args.output_dir, exist_ok=True)
+
+    out = sys.stdout
+
+    def emit(resp):
+        obj = {"id": resp.req_id, "path": resp.path, "ok": bool(resp.ok)}
+        if not resp.ok:
+            obj["error"] = resp.error
+        elif args.output_dir:
+            stem = os.path.splitext(os.path.basename(resp.path))[0]
+            fname = os.path.join(args.output_dir, f"{resp.req_id}_{stem}.npy")
+            np.save(fname, np.stack(list(resp.embeddings.values())))
+            obj["file"] = fname
+            obj["columns"] = list(resp.embeddings.keys())
+        else:
+            obj["embeddings"] = {
+                k: np.asarray(v, np.float32).tolist() for k, v in resp.embeddings.items()
+            }
+        out.write(json.dumps(obj) + "\n")
+        out.flush()
+
+    source = sys.stdin if args.input == "-" else open(args.input)
+    try:
+        logger.info("serving (model=%s, max_wait=%.0f ms, max_clips=%d)",
+                    model_name, args.max_wait_ms, args.max_clips)
+        server.serve(jsonl_requests(source), emit)
+    finally:
+        if source is not sys.stdin:
+            source.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

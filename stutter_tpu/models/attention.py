@@ -29,13 +29,20 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _auto_block(L_max: int) -> int:
+def _auto_block(L_max: int, with_bias: bool = False) -> int:
     """Block size: one single block whenever the padded sequence fits 1536.
 
     Measured on v5e at whisper-encoder shape (B=8, H=20, L=1500, d=64):
     a single 1536 block beats 512-blocking by ~7% end-to-end — the online-
     softmax rescale passes disappear and the [block_q, block_k] logits tile
-    (1536^2 f32 = 9.4 MB) still fits VMEM comfortably."""
+    (1536^2 f32 = 9.4 MB) still fits the 16 MB scoped-VMEM stack.
+
+    The BIAS variant cannot go that big: the f32 ab tile rides alongside the
+    f32 logits tile, so 1536 needs ~18 MB scoped VMEM and the TPU compiler
+    rejects it ("exceeded scoped vmem limit" — caught by a real serve-CLI
+    run of a 30 s WavLM bucket). 512 keeps ab+logits at ~2 MB."""
+    if with_bias:
+        return 512
     return min(_round_up(L_max, 512), 1536)
 
 
@@ -104,7 +111,7 @@ def flash_mha_bias(
 
     B, H, L, d = q.shape
     if block is None:
-        block = _auto_block(L)
+        block = _auto_block(L, with_bias=True)
     L_p = _round_up(L, block)
     if L_p != L:
         pad = L_p - L

@@ -1,0 +1,154 @@
+"""Latency-bounded online embedding serving over the extraction stack.
+
+No reference equivalent (the reference is batch scripts only); this is the
+deployment-facing entry the framework's batching design makes nearly free:
+the same BucketBatcher static-shape buckets and the same jit extractor
+programs (compiled once per bucket) serve interactive requests — the server
+only adds a deadline-bounded gather so a lone request never waits for a
+full batch.
+
+Design:
+- a reader thread drains the request source into a queue (so slow clients
+  don't stall the device loop)
+- the serving loop gathers requests until either `max_wait_s` passes since
+  the FIRST queued request or `max_clips` are waiting, then groups them by
+  length bucket, runs each bucket batch, and emits per-request results
+- batches reuse the extractor's async submit/collect split: bucket i+1's
+  host decode overlaps bucket i's device compute
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from typing import Callable, Iterable, Iterator
+
+import numpy as np
+
+from stutter_tpu.extract.batcher import BucketBatcher
+from stutter_tpu.utils.logging import get_logger
+
+logger = get_logger("serve.server")
+
+
+@dataclasses.dataclass
+class Request:
+    req_id: str
+    path: str
+
+
+@dataclasses.dataclass
+class Response:
+    req_id: str
+    path: str
+    ok: bool
+    embeddings: dict[str, np.ndarray] | None  # column -> [D] f32
+    error: str | None = None
+
+
+_STOP = object()
+
+
+class EmbeddingServer:
+    def __init__(
+        self,
+        extractor,
+        batcher: BucketBatcher | None = None,
+        max_wait_s: float = 0.25,
+        max_clips: int = 64,
+    ):
+        self.extractor = extractor
+        self.batcher = batcher or BucketBatcher(
+            audio_budget_s=max_clips * 3.0, max_batch=max_clips,
+        )
+        self.max_wait_s = max_wait_s
+        self.max_clips = max_clips
+
+    # -- one gathered round ------------------------------------------------
+
+    def _run_round(self, reqs: list[Request], emit: Callable[[Response], None]):
+        paths = [r.path for r in reqs]
+        assignment = self.batcher.assign_buckets(paths)
+        pending = []  # (reqs_for_batch, device handle)
+        for bucket_s, rows in assignment.items():
+            for i in range(0, len(rows), self.batcher.batch_size_for(bucket_s)):
+                chunk = rows[i : i + self.batcher.batch_size_for(bucket_s)]
+                batch = self.batcher._make_batch(paths, chunk, bucket_s)
+                handle = self.extractor.submit(batch)
+                pending.append(([reqs[r] for r in chunk], batch, handle))
+        for chunk_reqs, batch, handle in pending:
+            cols = self.extractor.collect(handle)
+            for j, req in enumerate(chunk_reqs):
+                if not batch.ok[j]:
+                    emit(Response(req.req_id, req.path, False, None, "decode failed"))
+                    continue
+                emit(Response(
+                    req.req_id, req.path, True,
+                    {name: np.asarray(col[j], np.float32) for name, col in cols.items()},
+                ))
+
+    # -- serving loop ------------------------------------------------------
+
+    def serve(self, requests: Iterable[Request], emit: Callable[[Response], None]):
+        """Serve until `requests` is exhausted; blocks the calling thread."""
+        q: queue.Queue = queue.Queue()
+
+        def reader():
+            try:
+                for r in requests:
+                    q.put(r)
+            finally:
+                q.put(_STOP)
+
+        t = threading.Thread(target=reader, daemon=True)
+        t.start()
+
+        done = False
+        while not done:
+            first = q.get()
+            if first is _STOP:
+                break
+            gathered = [first]
+            deadline = time.monotonic() + self.max_wait_s
+            while len(gathered) < self.max_clips:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    nxt = q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if nxt is _STOP:
+                    done = True
+                    break
+                gathered.append(nxt)
+            t0 = time.monotonic()
+            try:
+                self._run_round(gathered, emit)
+            except Exception as e:  # noqa: BLE001 — a bad round must not kill the server
+                logger.exception("serving round failed")
+                for r in gathered:
+                    emit(Response(r.req_id, r.path, False, None, f"round failed: {e}"))
+            logger.info(
+                "served %d clips in %.1f ms", len(gathered),
+                (time.monotonic() - t0) * 1e3,
+            )
+        t.join(timeout=1.0)
+
+
+def jsonl_requests(lines: Iterable[str]) -> Iterator[Request]:
+    """Parse JSONL requests: {"id": ..., "path": ...} (id optional)."""
+    import json
+
+    for n, line in enumerate(lines):
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            obj = json.loads(line)
+            yield Request(str(obj.get("id", n)), obj["path"])
+        except Exception:  # noqa: BLE001
+            # bare path lines are accepted too
+            yield Request(str(n), line)

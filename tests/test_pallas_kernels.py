@@ -42,3 +42,21 @@ def test_fused_wavlm_attention_matches_einsum(rng):
 
     out = wavlm_fused_attention(q, k, v, bias, gate, mask, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_auto_block_selection():
+    """_auto_block: one single block whenever the padded length fits 1536
+    (measured ~7% at whisper-encoder shape), 512-aligned, capped at 1536."""
+    from stutter_tpu.models.attention import _auto_block
+
+    assert _auto_block(144) == 512
+    assert _auto_block(512) == 512
+    assert _auto_block(513) == 1024
+    assert _auto_block(1500) == 1536  # whisper encoder: single block
+    assert _auto_block(1536) == 1536
+    assert _auto_block(2048) == 1536  # longer sequences: multi-block
+    assert _auto_block(4096) == 1536
+    # the bias variant keeps 512: its f32 ab tile + f32 logits tile at 1536
+    # exceed the 16 MB scoped-VMEM stack (TPU compile error, caught live)
+    assert _auto_block(1500, with_bias=True) == 512
+    assert _auto_block(144, with_bias=True) == 512

@@ -1,0 +1,123 @@
+"""Online serving tests: batching server semantics + the serve CLI."""
+
+import io
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from stutter_tpu.audio.synthetic import make_synthetic_corpus
+from stutter_tpu.extract import BucketBatcher, WavLMExtractor
+from stutter_tpu.models import WavLMConfig, init_wavlm_params
+from stutter_tpu.serve import EmbeddingServer, Request, jsonl_requests
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("serve_corpus")
+    make_synthetic_corpus(str(root), n_per_split={"train": 6})
+    import glob
+
+    return sorted(glob.glob(os.path.join(str(root), "wav", "*.wav")))
+
+
+@pytest.fixture(scope="module")
+def extractor():
+    cfg = WavLMConfig.tiny()
+    return WavLMExtractor(cfg, init_wavlm_params(jax.random.key(0), cfg), preset="fast")
+
+
+def test_server_serves_all_requests(corpus, extractor):
+    server = EmbeddingServer(
+        extractor,
+        batcher=BucketBatcher(buckets_s=(2.0, 4.0), audio_budget_s=8.0, max_batch=4),
+        max_wait_s=0.05, max_clips=4,
+    )
+    reqs = [Request(f"r{i}", p) for i, p in enumerate(corpus)]
+    responses = []
+    server.serve(iter(reqs), responses.append)
+    assert len(responses) == len(reqs)
+    by_id = {r.req_id: r for r in responses}
+    assert set(by_id) == {f"r{i}" for i in range(len(corpus))}
+    for r in responses:
+        assert r.ok, r.error
+        for col, vec in r.embeddings.items():
+            assert vec.shape == (extractor.embedding_dim,)
+            assert np.isfinite(vec).all()
+
+
+def test_server_reports_decode_failures(corpus, extractor, tmp_path):
+    bad = tmp_path / "not_a_wav.wav"
+    bad.write_bytes(b"garbage")
+    # small buckets: an unprobeable file is assigned the TOP bucket, and the
+    # default 30 s bucket means a 1500-frame attention compile on CPU
+    server = EmbeddingServer(
+        extractor,
+        batcher=BucketBatcher(buckets_s=(2.0, 4.0), audio_budget_s=8.0, max_batch=4),
+        max_wait_s=0.01, max_clips=4,
+    )
+    responses = []
+    server.serve(iter([Request("good", corpus[0]), Request("bad", str(bad))]),
+                 responses.append)
+    by_id = {r.req_id: r for r in responses}
+    assert by_id["good"].ok
+    assert not by_id["bad"].ok and by_id["bad"].embeddings is None
+
+
+def test_server_results_match_pipeline(corpus, extractor):
+    """Served embeddings == batch-extracted embeddings for the same clips."""
+    from stutter_tpu.extract.batcher import BucketBatcher as BB
+
+    server = EmbeddingServer(
+        extractor, batcher=BB(buckets_s=(2.0, 4.0), audio_budget_s=8.0),
+        max_wait_s=0.01, max_clips=8,
+    )
+    responses = []
+    server.serve(iter([Request("x", corpus[0])]), responses.append)
+    served = responses[0].embeddings
+
+    batcher = BB(buckets_s=(2.0, 4.0), audio_budget_s=8.0)
+    batch = next(batcher.batches([corpus[0]], prefetch=False))
+    direct = extractor(batch)
+    for col in served:
+        np.testing.assert_allclose(served[col], direct[col][0], rtol=1e-5, atol=1e-6)
+
+
+def test_jsonl_requests_parsing():
+    lines = io.StringIO(
+        '{"id": "a", "path": "/x.wav"}\n'
+        "\n"
+        "/bare/path.wav\n"
+    )
+    reqs = list(jsonl_requests(lines))
+    assert (reqs[0].req_id, reqs[0].path) == ("a", "/x.wav")
+    assert reqs[1].path == "/bare/path.wav"
+
+
+def test_serve_cli_end_to_end(corpus, tmp_path, monkeypatch, capsys):
+    from stutter_tpu.cli import serve as serve_cli
+    from stutter_tpu.models import WavLMConfig
+
+    monkeypatch.setattr(
+        WavLMConfig, "base", staticmethod(lambda: WavLMConfig.tiny(32, 2, 4))
+    )
+    req_file = tmp_path / "reqs.jsonl"
+    req_file.write_text(
+        "\n".join(json.dumps({"id": f"q{i}", "path": p})
+                  for i, p in enumerate(corpus[:3])) + "\n"
+    )
+    monkeypatch.chdir(tmp_path)
+    rc = serve_cli.main([
+        "--model_type", "wavlm", "--model_name", "microsoft/wavlm-base",
+        "--random_init", "--input", str(req_file),
+        "--output_dir", str(tmp_path / "emb"), "--max_wait_ms", "10",
+    ])
+    assert rc == 0
+    out_lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(out_lines) == 3 and all(o["ok"] for o in out_lines)
+    for o in out_lines:
+        arr = np.load(o["file"])
+        assert arr.ndim == 2 and np.isfinite(arr).all()
+        assert len(o["columns"]) == arr.shape[0]
