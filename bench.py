@@ -165,6 +165,26 @@ def main() -> None:
     fast_tp, turbo_tp = (alt_tp, round(throughput, 2)) if preset == "turbo" \
         else (round(throughput, 2), alt_tp)
 
+    # long-bucket regression check: 30 s clips route WavLM attention through
+    # the Pallas flash-BIAS kernel (L~1500 >= 512) — a path the 3 s headline
+    # never compiles, and where a scoped-VMEM overflow once shipped silently
+    # (CPU tests only cover the einsum fallback). Throughput is reported so
+    # the driver artifact both exercises and tracks it.
+    long_samples = batcher.bucket_samples(30.0)
+    long_batch = 12
+    lw = jax.device_put((rs.randn(long_batch, long_samples) * 0.1).astype(np.float32))
+    ll = jax.device_put(np.full((long_batch,), long_samples, np.int32))
+    np.asarray(bench_fn(bench_params, lw, ll))  # compile + run
+    t0 = time.perf_counter()
+    prev = bench_fn(bench_params, lw, ll)
+    for _ in range(4):
+        cur = bench_fn(bench_params, lw, ll)
+        np.asarray(prev)
+        prev = cur
+    np.asarray(prev)
+    long_tp = round(long_batch * (long_samples / sr) / ((time.perf_counter() - t0) / 5), 2)
+    del lw, ll
+
     # free the wavlm device trees before the whisper-large section — three
     # whisper param trees (f32 6.2 GB + bf16 3.1 + int8 1.6) plus these
     # otherwise exhaust the 16 GB HBM
@@ -192,6 +212,7 @@ def main() -> None:
         },
         "fast_audio_sec_per_sec": fast_tp,
         "turbo_audio_sec_per_sec": turbo_tp,
+        "long_bucket_30s_audio_sec_per_sec": long_tp,
         "turbo_fidelity_cosine_distance_vs_f32": turbo_fidelity,
         **whisper_stats,
         "device": str(jax.devices()[0]),

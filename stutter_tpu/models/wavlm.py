@@ -393,8 +393,36 @@ def gated_relpos_attention(
     # under tensor parallelism — a pallas_call has no GSPMD partition rule
     # and would force its TP-sharded operands replicated)
     use_kernels = allow_flash and _flash_available() and x.dtype == jnp.bfloat16
-    if use_kernels and L >= 512 and hd >= 64:
-        # long buckets: stream K/V through VMEM; bias read once per block
+    if use_kernels and L >= 512 and hd >= 64 \
+            and not os.environ.get("STUTTER_TPU_LONG_ATTENTION_FLASH"):
+        # long buckets: q-blocked fused kernel — the gate*bias product is
+        # computed IN-KERNEL from the batch-shared [H, L, L] table, so the
+        # [B, H, L, L] f32 ab tensor (~1.7 GB/layer at B=12, L=1504) that
+        # the flash-ab path must materialize never exists. Measured 30 s
+        # bucket on v5e: 882 -> 1999 audio-s/s (2.27x, bench long_bucket
+        # field), kernel-vs-einsum cosine 2.8e-7.
+        from stutter_tpu.ops.wavlm_attention_pallas import (
+            wavlm_fused_attention_long,
+        )
+
+        mask2 = (
+            key_mask_bias[:, 0, 0, :]
+            if key_mask_bias is not None
+            else jnp.zeros((B, L), jnp.float32)
+        )
+        BQ = 256
+        Lp = ((L + BQ - 1) // BQ) * BQ
+        pb, g, qq, kk, vv = position_bias.astype(jnp.float32), gate, q * scale, k, v
+        if Lp != L:
+            pad = Lp - L
+            qq, kk, vv = (jnp.pad(t, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                          for t in (qq, kk, vv))
+            pb = jnp.pad(pb, ((0, 0), (0, pad), (0, pad)))
+            g = jnp.pad(g, ((0, 0), (0, 0), (0, pad)))
+            mask2 = jnp.pad(mask2, ((0, 0), (0, pad)), constant_values=-1e9)
+        out = wavlm_fused_attention_long(qq, kk, vv, pb, g, mask2)[:, :, :L]
+    elif use_kernels and L >= 512 and hd >= 64:
+        # escape hatch: the stock flash kernel with a materialized ab
         ab = gated_bias()
         if key_mask_bias is not None:
             ab = ab + key_mask_bias

@@ -83,3 +83,79 @@ def wavlm_fused_attention(
         out_shape=jax.ShapeDtypeStruct((B, H, L, d), q.dtype),
         interpret=interpret,
     )(q, k, v, position_bias, gate4, mask3)
+
+
+# ---------------------------------------------------------------------------
+# Long-sequence variant: q-blocked, full-key rows, bias computed in-kernel
+# ---------------------------------------------------------------------------
+
+
+def _attn_long_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, mask_ref, out_ref):
+    q = q_ref[0, 0]  # [BQ, d] bf16 (pre-scaled)
+    k = k_ref[0, 0]  # [L, d]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BQ, L] f32
+    p = s + gate_ref[0, 0] * bias_ref[0] + mask_ref[0, 0][None, :]
+    p_max = jnp.max(p, axis=-1, keepdims=True)
+    e = jnp.exp(p - p_max)
+    a = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+    out_ref[0, 0] = jax.lax.dot_general(
+        a, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def wavlm_fused_attention_long(
+    q: jax.Array,  # [B, H, L, d] (pre-scaled)
+    k: jax.Array,
+    v: jax.Array,
+    position_bias: jax.Array,  # [H, L, L] f32 (shared across batch)
+    gate: jax.Array,  # [B, H, L] f32
+    key_mask_bias: jax.Array,  # [B, L] f32 (0 valid / -1e9 pad)
+    block_q: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Long-bucket (L >= ~512) gated-bias attention without the [B, H, L, L]
+    HBM tensor.
+
+    The flash-ab path must MATERIALIZE the gated bias as a full [B, H, L, L]
+    f32 array (~1.7 GB/layer at B=12, L=1504) because the stock kernel takes
+    ab as an input; that write+read dominates long-bucket time. Here each
+    grid step computes one q-block's full key row in VMEM:
+
+        s[BQ, L] = q_blk @ k^T;  p = s + gate_blk * bias_blk + mask
+        out_blk  = softmax_rows(p) @ v          (exact, no online rescale)
+
+    and the gate product happens in-kernel, so only q/k/v/out and the
+    BATCH-SHARED [H, L, L] bias cross HBM. Grid order (h, q_blk, b) keeps
+    the bias block index constant along the inner batch loop — Pallas skips
+    the re-fetch, so the bias is read once per (head, q-block), not once
+    per batch element. VMEM per step ~4 MB at BQ=256, L=1536.
+    """
+    B, H, L, d = q.shape
+    assert L % block_q == 0, (L, block_q)
+    grid = (H, L // block_q, B)
+    q_spec = pl.BlockSpec((1, 1, block_q, d), lambda h, qb, b: (b, h, qb, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, 1, L, d), lambda h, qb, b: (b, h, 0, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _attn_long_kernel,
+        grid=grid,
+        in_specs=[
+            q_spec,
+            kv_spec,
+            kv_spec,
+            pl.BlockSpec((1, block_q, L), lambda h, qb, b: (h, qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 1), lambda h, qb, b: (b, h, qb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, L), lambda h, qb, b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, L, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v, position_bias, gate[..., None], key_mask_bias[:, None, :])
