@@ -410,7 +410,11 @@ def gated_relpos_attention(
             if key_mask_bias is not None
             else jnp.zeros((B, L), jnp.float32)
         )
-        BQ = 256
+        # block choice: smallest padded length wins (padded keys are real
+        # compute); on ties take the bigger block (512 measured ~5% faster
+        # than 256 at L=1536 — scripts/sweep_long_attn_block.py; 768 OOMs
+        # scoped VMEM)
+        BQ = min((512, 256), key=lambda b: (((L + b - 1) // b) * b, -b))
         Lp = ((L + BQ - 1) // BQ) * BQ
         pb, g, qq, kk, vv = position_bias.astype(jnp.float32), gate, q * scale, k, v
         if Lp != L:
@@ -420,7 +424,8 @@ def gated_relpos_attention(
             pb = jnp.pad(pb, ((0, 0), (0, pad), (0, pad)))
             g = jnp.pad(g, ((0, 0), (0, 0), (0, pad)))
             mask2 = jnp.pad(mask2, ((0, 0), (0, pad)), constant_values=-1e9)
-        out = wavlm_fused_attention_long(qq, kk, vv, pb, g, mask2)[:, :, :L]
+        out = wavlm_fused_attention_long(qq, kk, vv, pb, g, mask2,
+                                         block_q=BQ)[:, :, :L]
     elif use_kernels and L >= 512 and hd >= 64:
         # escape hatch: the stock flash kernel with a materialized ab
         ab = gated_bias()
