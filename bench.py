@@ -116,17 +116,19 @@ def main() -> None:
     # Two independent loops, best one reported: the shared remote TPU service
     # shows occasional ±10% load noise, and one slow moment should not
     # misrepresent the build in the recorded per-round artifact.
-    def timed_loop(iters: int = 20) -> float:
+    def timed_loop(fn, args, iters: int = 20) -> float:
         t0 = time.perf_counter()
-        prev = bench_fn(bench_params, waves_d, lengths_d)
+        prev = fn(*args)
         for _ in range(iters - 1):
-            cur = bench_fn(bench_params, waves_d, lengths_d)
+            cur = fn(*args)
             np.asarray(prev)
             prev = cur
         np.asarray(prev)
         return (time.perf_counter() - t0) / iters
 
-    t_step = min(timed_loop(), timed_loop())
+    headline_args = (bench_params, waves_d, lengths_d)
+    t_step = min(timed_loop(bench_fn, headline_args),
+                 timed_loop(bench_fn, headline_args))
     throughput = batch * (n_samples / sr) / t_step
 
     # per-stage timings + MFU (VERDICT r1 #3): stem and encoder in isolation,
@@ -167,24 +169,25 @@ def main() -> None:
     flops = enc_flops + stem_flops
 
     # bf16-fast comparison point when turbo is the headline (and vice versa):
-    # the non-headline preset's throughput, same dispatch-overlap loop
-    fast_tp = turbo_tp = round(throughput, 2)
-    if _budget_left() > 240:
+    # the non-headline preset's throughput, same dispatch-overlap loop.
+    # Values start as None and are ONLY set when actually measured — a
+    # skipped/failed loop must not mislabel the headline number as the
+    # other preset's throughput (self-review finding).
+    fast_tp = turbo_tp = None
+    if preset == "turbo":
+        turbo_tp = round(throughput, 2)
+    elif preset == "fast":
+        fast_tp = round(throughput, 2)
+    if _budget_left() > 240 and preset in ("fast", "turbo"):
         try:
             alt_params = fast_params if preset == "turbo" else turbo_params
             np.asarray(fast(alt_params, waves_d, lengths_d))  # warm/compile
-            alt_iters = 10
-            t0 = time.perf_counter()
-            prev = fast(alt_params, waves_d, lengths_d)
-            for _ in range(alt_iters - 1):
-                cur = fast(alt_params, waves_d, lengths_d)
-                np.asarray(prev)
-                prev = cur
-            np.asarray(prev)
-            t_alt = (time.perf_counter() - t0) / alt_iters
+            t_alt = timed_loop(fast, (alt_params, waves_d, lengths_d), iters=10)
             alt_tp = round(batch * (n_samples / sr) / t_alt, 2)
-            fast_tp, turbo_tp = (alt_tp, round(throughput, 2)) if preset == "turbo" \
-                else (round(throughput, 2), alt_tp)
+            if preset == "turbo":
+                fast_tp = alt_tp
+            else:
+                turbo_tp = alt_tp
         except Exception:  # noqa: BLE001
             pass
         alt_params = None  # drop the alias so the del below really frees HBM
@@ -203,15 +206,8 @@ def main() -> None:
                 (rs.randn(long_batch, long_samples) * 0.1).astype(np.float32))
             ll = jax.device_put(np.full((long_batch,), long_samples, np.int32))
             np.asarray(bench_fn(bench_params, lw, ll))  # compile + run
-            t0 = time.perf_counter()
-            prev = bench_fn(bench_params, lw, ll)
-            for _ in range(4):
-                cur = bench_fn(bench_params, lw, ll)
-                np.asarray(prev)
-                prev = cur
-            np.asarray(prev)
-            long_tp = round(
-                long_batch * (long_samples / sr) / ((time.perf_counter() - t0) / 5), 2)
+            t_long = timed_loop(bench_fn, (bench_params, lw, ll), iters=5)
+            long_tp = round(long_batch * (long_samples / sr) / t_long, 2)
             del lw, ll
         except Exception:  # noqa: BLE001
             pass

@@ -61,9 +61,16 @@ def main(argv=None) -> int:
         logger.error("unsupported model_type %s", args.model_type)
         return 1
 
+    # honor the extractor's preferred buckets exactly like ExtractionPipeline
+    # does (extract/pipeline.py): whisper pads every input to 30 s on device,
+    # so default multi-second buckets would compile one identical-work XLA
+    # program per occupied bucket (60-90 s each) for zero batching benefit
+    from stutter_tpu.extract.batcher import DEFAULT_BUCKETS_S
+
     server = EmbeddingServer(
         extractor,
         batcher=BucketBatcher(
+            buckets_s=getattr(extractor, "preferred_buckets", None) or DEFAULT_BUCKETS_S,
             audio_budget_s=args.max_clips * 3.0, max_batch=args.max_clips,
             batch_multiple=mesh.data_size if mesh else 1,
             frame_align=getattr(extractor, "frame_align", None),

@@ -101,6 +101,37 @@ def cast_params_for_preset(params, preset: str):
     return params
 
 
+def _check_turbo_tp(preset: str, tp: bool) -> None:
+    if tp and preset == "turbo":
+        raise ValueError(
+            "turbo preset is DP/single-chip only: int8 {q,s} weights have "
+            "no tensor-parallel partition spec (use preset='fast' with TP)")
+
+
+def encode_waves_i16(waves) -> tuple[np.ndarray, np.ndarray]:
+    """Per-clip peak-scaled int16 host->device encoding.
+
+    Halves the transfer bytes (the pipeline bottleneck through a bandwidth-
+    limited host link). Scaling each clip to full int16 range bounds the
+    quantization noise at ~3e-5 RELATIVE to that clip's peak — quiet clips
+    (e.g. far-field recordings after resampling) stay ~100x below bf16's
+    own 0.4% rounding even after per-clip normalization, where a fixed
+    1/32768 grid would have amplified to percent-level error (self-review
+    finding). Returns (int16 [B, T], f32 scale [B])."""
+    w = np.asarray(waves, np.float32)
+    peak = np.max(np.abs(w), axis=1)
+    scale = np.where(peak > 0, peak / 32767.0, 1.0).astype(np.float32)
+    q = np.clip(np.rint(w / scale[:, None]), -32767, 32767).astype(np.int16)
+    return q, scale
+
+
+def decode_waves_i16(waves, scale):
+    """Device-side inverse of encode_waves_i16 (no-op for f32 transfers)."""
+    if waves.dtype == jnp.int16:
+        return waves.astype(jnp.float32) * scale[:, None]
+    return waves
+
+
 class WavLMExtractor:
     """Layer-selected mean-pooled WavLM embeddings (reference C6)."""
 
@@ -133,17 +164,11 @@ class WavLMExtractor:
 
         self.frame_count = frame_count
         opts = PRESETS[preset]
-        # fast preset ships waveforms host->device as int16: halves the
-        # transfer bytes (the pipeline bottleneck through a bandwidth-limited
-        # host link) and is LOSSLESS for int16-decoded wavs (i/32768 * 32768
-        # round-trips exactly); resampled audio quantizes at ~3e-5 absolute,
-        # ~100x below bf16's own rounding. Fidelity preset keeps f32.
+        # fast/turbo ship waveforms host->device as per-clip-scaled int16
+        # (encode_waves_i16); the fidelity preset keeps f32
         self._transfer_i16 = preset in ("fast", "turbo")
         tp = mesh is not None and mesh.model_size > 1
-        if tp and preset == "turbo":
-            raise ValueError(
-                "turbo preset is DP/single-chip only: int8 {q,s} weights have "
-                "no tensor-parallel partition spec (use preset='fast' with TP)")
+        _check_turbo_tp(preset, tp)
         params = cast_params_for_preset(params, preset)
         if tp:
             # Megatron-style TP over the encoder weights (parallel/sharding.py)
@@ -153,9 +178,8 @@ class WavLMExtractor:
         else:
             self.params = replicate(mesh, params)
 
-        def fn(params, waves, lengths):
-            if waves.dtype == jnp.int16:
-                waves = waves.astype(jnp.float32) * (1.0 / 32768.0)
+        def fn(params, waves, scale, lengths):
+            waves = decode_waves_i16(waves, scale)
             waves = wavlm_prepare_batch(waves, lengths, cfg.do_normalize)
             return wavlm_encode(
                 params, waves, cfg, self.layer_indices, sample_lengths=lengths,
@@ -169,12 +193,12 @@ class WavLMExtractor:
         """Dispatch the device program WITHOUT a host sync (JAX async
         dispatch): the returned handle is a live [S, B, D] device array."""
         waves = batch.waves
+        scale = np.ones((len(waves),), np.float32)
         if self._transfer_i16:
-            waves = np.clip(np.rint(np.asarray(waves) * 32768.0), -32768, 32767).astype(
-                np.int16
-            )
-        waves, lengths = shard_batch(self.mesh, waves, batch.lengths.astype(np.int32))
-        return self._fn(self.params, waves, lengths)
+            waves, scale = encode_waves_i16(waves)
+        waves, scale, lengths = shard_batch(
+            self.mesh, waves, scale, batch.lengths.astype(np.int32))
+        return self._fn(self.params, waves, scale, lengths)
 
     def collect(self, handle) -> dict[str, np.ndarray]:
         pooled = np.asarray(handle)  # [S, B, D] f32, blocks until done
@@ -229,12 +253,9 @@ class WhisperExtractor:
             1, min(cfg.max_source_positions, int(n_samples) // (WHISPER_HOP * 2))
         )
         opts = PRESETS[preset]
-        self._transfer_i16 = preset in ("fast", "turbo")  # see WavLMExtractor
+        self._transfer_i16 = preset in ("fast", "turbo")  # see encode_waves_i16
         tp = mesh is not None and mesh.model_size > 1
-        if tp and preset == "turbo":
-            raise ValueError(
-                "turbo preset is DP/single-chip only: int8 {q,s} weights have "
-                "no tensor-parallel partition spec (use preset='fast' with TP)")
+        _check_turbo_tp(preset, tp)
         params = cast_params_for_preset(params, preset)
         if tp:
             # Megatron-style TP over encoder+decoder weights (parallel/sharding)
@@ -244,11 +265,10 @@ class WhisperExtractor:
         else:
             self.params = replicate(mesh, params)
 
-        def fn(params, waves):
+        def fn(params, waves, scale):
             from stutter_tpu.frontend.whisper_frontend import whisper_features
 
-            if waves.dtype == jnp.int16:
-                waves = waves.astype(jnp.float32) * (1.0 / 32768.0)
+            waves = decode_waves_i16(waves, scale)
             mel = whisper_features(waves, n_mels=cfg.num_mel_bins)
             # pool inside the encoder scan — only [N+1, B, D] means are kept
             enc_last, enc_pooled_all = whisper_encoder_forward(
@@ -266,12 +286,11 @@ class WhisperExtractor:
     def submit(self, batch: Batch):
         """Dispatch the device program without a host sync (async handle)."""
         waves = batch.waves
+        scale = np.ones((len(waves),), np.float32)
         if self._transfer_i16:
-            waves = np.clip(np.rint(np.asarray(waves) * 32768.0), -32768, 32767).astype(
-                np.int16
-            )
-        waves = shard_batch(self.mesh, waves)
-        return self._fn(self.params, waves)
+            waves, scale = encode_waves_i16(waves)
+        waves, scale = shard_batch(self.mesh, waves, scale)
+        return self._fn(self.params, waves, scale)
 
     def collect(self, handle) -> dict[str, np.ndarray]:
         enc, dec = handle

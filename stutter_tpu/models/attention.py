@@ -40,10 +40,15 @@ def _auto_block(L_max: int, with_bias: bool = False) -> int:
     The BIAS variant cannot go that big: the f32 ab tile rides alongside the
     f32 logits tile, so 1536 needs ~18 MB scoped VMEM and the TPU compiler
     rejects it ("exceeded scoped vmem limit" — caught by a real serve-CLI
-    run of a 30 s WavLM bucket). 512 keeps ab+logits at ~2 MB."""
+    run of a 30 s WavLM bucket). 512 keeps ab+logits at ~2 MB.
+
+    Beyond 1536 the single-block win is gone and a 1536 block would PAD the
+    sequence up to a 1536 multiple (L=2048 -> 3072: 2.25x the attention
+    FLOPs) — fall back to 512 blocking there."""
     if with_bias:
         return 512
-    return min(_round_up(L_max, 512), 1536)
+    padded = _round_up(L_max, 512)
+    return padded if padded <= 1536 else 512
 
 
 def flash_mha(

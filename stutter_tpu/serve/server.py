@@ -68,19 +68,39 @@ class EmbeddingServer:
 
     # -- one gathered round ------------------------------------------------
 
-    def _run_round(self, reqs: list[Request], emit: Callable[[Response], None]):
+    def _run_round(self, reqs: list[Request], emit: Callable[[Response], None],
+                   emitted: set[str]):
+        """Run one gathered round. Every emit is recorded in `emitted` so a
+        failure partway through (one bucket batch erroring) never re-answers
+        requests that already got a response; per-batch try/except means one
+        bad batch fails only its own requests."""
         paths = [r.path for r in reqs]
         assignment = self.batcher.assign_buckets(paths)
-        pending = []  # (reqs_for_batch, device handle)
+        pending = []  # (reqs_for_batch, batch, device handle | exception)
         for bucket_s, rows in assignment.items():
             for i in range(0, len(rows), self.batcher.batch_size_for(bucket_s)):
                 chunk = rows[i : i + self.batcher.batch_size_for(bucket_s)]
-                batch = self.batcher._make_batch(paths, chunk, bucket_s)
-                handle = self.extractor.submit(batch)
-                pending.append(([reqs[r] for r in chunk], batch, handle))
+                chunk_reqs = [reqs[r] for r in chunk]
+                try:
+                    batch = self.batcher._make_batch(paths, chunk, bucket_s)
+                    pending.append((chunk_reqs, batch, self.extractor.submit(batch)))
+                except Exception as e:  # noqa: BLE001
+                    logger.exception("batch submit failed")
+                    pending.append((chunk_reqs, None, e))
         for chunk_reqs, batch, handle in pending:
-            cols = self.extractor.collect(handle)
+            try:
+                if batch is None:
+                    raise handle
+                cols = self.extractor.collect(handle)
+            except Exception as e:  # noqa: BLE001
+                logger.exception("batch failed")
+                for req in chunk_reqs:
+                    emitted.add(req.req_id)
+                    emit(Response(req.req_id, req.path, False, None,
+                                  f"batch failed: {e}"))
+                continue
             for j, req in enumerate(chunk_reqs):
+                emitted.add(req.req_id)
                 if not batch.ok[j]:
                     emit(Response(req.req_id, req.path, False, None, "decode failed"))
                     continue
@@ -125,12 +145,15 @@ class EmbeddingServer:
                     break
                 gathered.append(nxt)
             t0 = time.monotonic()
+            emitted: set[str] = set()
             try:
-                self._run_round(gathered, emit)
+                self._run_round(gathered, emit, emitted)
             except Exception as e:  # noqa: BLE001 — a bad round must not kill the server
                 logger.exception("serving round failed")
                 for r in gathered:
-                    emit(Response(r.req_id, r.path, False, None, f"round failed: {e}"))
+                    if r.req_id not in emitted:  # never double-answer a request
+                        emit(Response(r.req_id, r.path, False, None,
+                                      f"round failed: {e}"))
             logger.info(
                 "served %d clips in %.1f ms", len(gathered),
                 (time.monotonic() - t0) * 1e3,

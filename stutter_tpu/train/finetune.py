@@ -83,12 +83,18 @@ def finetune_forward(
     if cfg.remat_encoder:
         fwd = jax.checkpoint(
             wavlm_forward,
-            static_argnums=(2, 4, 5),  # cfg, precision, activation_dtype
+            # cfg, precision, activation_dtype, hidden_reducer, use_flash
+            static_argnums=(2, 4, 5, 7, 8),
             policy=jax.checkpoint_policies.nothing_saveable,
         )
+    # use_flash=False: the training path must stay differentiable — the
+    # long-bucket (L>=512) attention kernels are raw pallas_calls with no
+    # VJP, so a >=10.5 s bucket under jax.grad would otherwise fail to
+    # trace (caught by self-review; the einsum path is grad-safe and the
+    # numerics are identical). Eval shares the flag so train==eval numerics.
     _, all_hidden, frame_lengths = fwd(
         params["backbone"], x, cfg.model, lengths,
-        cfg.precision, cfg.activation_dtype, sa_rng,
+        cfg.precision, cfg.activation_dtype, sa_rng, None, False,
     )
     w = jax.nn.softmax(params["layer_weights"])
     feats = jnp.einsum("s,sbld->bld", w, all_hidden.astype(jnp.float32))

@@ -189,15 +189,35 @@ def test_pipeline_skips_bad_files(corpus, tiny_wavlm, tmp_path):
     assert "nope" not in set(df["filename"])
 
 
-def test_i16_transfer_lossless(tiny_wavlm, rng):
-    """The fast preset ships waveforms host->device as int16 (halves transfer
-    bytes). For int16-derived audio (every un-resampled wav) the round trip
-    i/32768 -> int16 -> /32768 must be exactly lossless."""
+def test_i16_transfer_relative_error_bounded(rng):
+    """Per-clip peak-scaled int16 transfer (encode_waves_i16): quantization
+    error is bounded RELATIVE to each clip's peak — including very quiet
+    clips, where a fixed 1/32768 grid would be percent-level error that
+    per-clip normalization then amplifies into the encoder."""
+    from stutter_tpu.extract.pipeline import encode_waves_i16
+
+    for amplitude in (0.6, 1e-3, 1e-5):  # loud, quiet, near-silent
+        waves = (rng.randn(3, 4000) * amplitude).astype(np.float32)
+        q, scale = encode_waves_i16(waves)
+        assert q.dtype == np.int16 and scale.shape == (3,)
+        recon = q.astype(np.float32) * scale[:, None]
+        peak = np.abs(waves).max(axis=1, keepdims=True)
+        assert np.abs(recon - waves).max() <= peak.max() / 32767.0 + 1e-12
+        # relative to the clip's own scale: ~3e-5, ~100x below bf16 rounding
+        assert (np.abs(recon - waves) / peak).max() < 3.1e-5
+
+    # all-zero (pad) rows round-trip to exactly zero
+    q, scale = encode_waves_i16(np.zeros((2, 100), np.float32))
+    assert (q == 0).all()
+
+
+def test_i16_transfer_matches_f32_program(tiny_wavlm, rng):
+    """The int16 transfer path must produce (near-)identical embeddings to
+    the f32 transfer through the same program."""
     from stutter_tpu.extract.batcher import Batch
     from stutter_tpu.extract.pipeline import WavLMExtractor
 
     cfg, params = tiny_wavlm
-    # int16-grid samples, exactly like wav decode produces
     waves = (rng.randint(-20000, 20000, size=(4, 8000)).astype(np.float32)) / 32768.0
     lengths = np.array([8000, 6000, 8000, 4000], np.int64)
     for i, n in enumerate(lengths):
@@ -211,4 +231,8 @@ def test_i16_transfer_lossless(tiny_wavlm, rng):
     ex._transfer_i16 = False  # force the f32 transfer path, same program
     out_f32 = ex(batch)
     for k in out_i16:
-        np.testing.assert_array_equal(out_i16[k], out_f32[k])
+        # ~3e-5 relative input quantization through a bf16 network: the
+        # pooled embeddings agree far inside the 1e-3 fidelity bar
+        a, b = out_i16[k].astype(np.float64), out_f32[k].astype(np.float64)
+        denom = np.maximum(np.abs(b).max(), 1e-9)
+        assert np.abs(a - b).max() / denom < 2e-3, k

@@ -54,8 +54,10 @@ def test_flash_auto_block_selection():
     assert _auto_block(513) == 1024
     assert _auto_block(1500) == 1536  # whisper encoder: single block
     assert _auto_block(1536) == 1536
-    assert _auto_block(2048) == 1536  # longer sequences: multi-block
-    assert _auto_block(4096) == 1536
+    # past the single-block regime, 512 blocking avoids up-to-1536 padding
+    # (1536-blocking L=2048 would pad to 3072 = 2.25x the attention FLOPs)
+    assert _auto_block(2048) == 512
+    assert _auto_block(4096) == 512
     # the bias variant keeps 512: its f32 ab tile + f32 logits tile at 1536
     # exceed the 16 MB scoped-VMEM stack (TPU compile error, caught live)
     assert _auto_block(1500, with_bias=True) == 512
