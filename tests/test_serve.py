@@ -121,3 +121,37 @@ def test_serve_cli_end_to_end(corpus, tmp_path, monkeypatch, capsys):
         arr = np.load(o["file"])
         assert arr.ndim == 2 and np.isfinite(arr).all()
         assert len(o["columns"]) == arr.shape[0]
+
+
+def test_server_partial_round_failure_no_double_answers(corpus, extractor):
+    """One bucket batch failing must fail only its own requests — requests
+    already answered in the same round must not get a second response."""
+
+    class FlakyExtractor:
+        def __init__(self, inner):
+            self.inner = inner
+            self.embedding_dim = inner.embedding_dim
+            self.calls = 0
+
+        def submit(self, batch):
+            self.calls += 1
+            if self.calls == 2:  # second bucket batch of the round blows up
+                raise RuntimeError("boom")
+            return self.inner.submit(batch)
+
+        def collect(self, handle):
+            return self.inner.collect(handle)
+
+    flaky = FlakyExtractor(extractor)
+    server = EmbeddingServer(
+        flaky,
+        batcher=BucketBatcher(buckets_s=(2.0, 4.0), audio_budget_s=4.0, max_batch=2),
+        max_wait_s=0.05, max_clips=8,
+    )
+    reqs = [Request(f"r{i}", p) for i, p in enumerate(corpus[:4])]
+    responses = []
+    server.serve(iter(reqs), responses.append)
+    ids = [r.req_id for r in responses]
+    assert sorted(ids) == sorted({f"r{i}" for i in range(4)}), ids  # exactly once each
+    assert any(not r.ok and "batch failed" in (r.error or "") for r in responses)
+    assert any(r.ok for r in responses)
