@@ -143,3 +143,27 @@ def test_finetune_cli(corpus, tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(results, "finetune_results.json"))
     saved = [f for f in os.listdir(results) if f.endswith((".joblib", ".json"))]
     assert saved
+
+
+def test_extract_wavlm_cli_turbo_preset(corpus, tmp_path, monkeypatch):
+    """--preset turbo drives the int8 path through the full CLI contract."""
+    from stutter_tpu.models import WavLMConfig
+
+    monkeypatch.setattr(
+        WavLMConfig, "base", staticmethod(lambda: WavLMConfig.tiny(32, 2, 4))
+    )
+    from stutter_tpu.cli.extract_wavlm import main
+
+    out = str(tmp_path / "emb_turbo" / "wavlm")
+    rc = main([
+        "--data_dir", corpus, "--output_dir", out,
+        "--model_name", "microsoft/wavlm-base", "--random_init",
+        "--preset", "turbo", "--split", "train", "--audio_budget", "32",
+    ])
+    assert rc == 0
+    import numpy as np
+
+    npys = [f for f in os.listdir(os.path.join(out, "train")) if f.endswith(".npy")]
+    assert len(npys) == 3
+    for f in npys:
+        assert np.isfinite(np.load(os.path.join(out, "train", f))).all()
