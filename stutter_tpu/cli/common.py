@@ -51,7 +51,7 @@ def add_mesh_args(parser: argparse.ArgumentParser) -> None:
                         choices=["fast", "fidelity", "turbo"],
                         help="Numerics preset: fast=bf16 MXU, fidelity=f32 HIGHEST, "
                              "turbo=int8 dynamic-quant GEMMs (2x MXU rate; fidelity "
-                             "measured, not guaranteed <=1e-3; DP only)")
+                             "measured, not guaranteed <=1e-3)")
     parser.add_argument("--device", type=str, default=None,
                         help="Accepted for reference compatibility; ignored "
                              "(device selection is mesh-based on TPU)")

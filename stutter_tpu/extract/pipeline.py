@@ -101,13 +101,6 @@ def cast_params_for_preset(params, preset: str):
     return params
 
 
-def _check_turbo_tp(preset: str, tp: bool) -> None:
-    if tp and preset == "turbo":
-        raise ValueError(
-            "turbo preset is DP/single-chip only: int8 {q,s} weights have "
-            "no tensor-parallel partition spec (use preset='fast' with TP)")
-
-
 def encode_waves_i16(waves) -> tuple[np.ndarray, np.ndarray]:
     """Per-clip peak-scaled int16 host->device encoding.
 
@@ -168,10 +161,11 @@ class WavLMExtractor:
         # (encode_waves_i16); the fidelity preset keeps f32
         self._transfer_i16 = preset in ("fast", "turbo")
         tp = mesh is not None and mesh.model_size > 1
-        _check_turbo_tp(preset, tp)
         params = cast_params_for_preset(params, preset)
         if tp:
-            # Megatron-style TP over the encoder weights (parallel/sharding.py)
+            # Megatron-style TP over the encoder weights (parallel/sharding.py);
+            # turbo's int8 {q,s} pairs shard too (q inherits the weight spec,
+            # scales follow their output channels — parallel/sharding._lookup)
             from stutter_tpu.parallel.sharding import shard_params, wavlm_param_spec
 
             self.params = shard_params(mesh, params, wavlm_param_spec(mesh))
@@ -255,10 +249,10 @@ class WhisperExtractor:
         opts = PRESETS[preset]
         self._transfer_i16 = preset in ("fast", "turbo")  # see encode_waves_i16
         tp = mesh is not None and mesh.model_size > 1
-        _check_turbo_tp(preset, tp)
         params = cast_params_for_preset(params, preset)
         if tp:
-            # Megatron-style TP over encoder+decoder weights (parallel/sharding)
+            # Megatron-style TP over encoder+decoder weights (parallel/sharding);
+            # turbo int8 {q,s} pairs shard too (see parallel/sharding._lookup)
             from stutter_tpu.parallel.sharding import shard_params, whisper_param_spec
 
             self.params = shard_params(mesh, params, whisper_param_spec(mesh))

@@ -103,7 +103,20 @@ def shard_params(plan: MeshPlan, params, spec_tree) -> dict:
 
 def _lookup(spec_tree, path):
     node = spec_tree
-    for key in path:
+    for i, key in enumerate(path):
+        if isinstance(node, P):
+            # int8 turbo weights are {"q": int8 [..., K, N], "s": f32
+            # [..., N]} (ops/quant.py); the spec tree names the WEIGHT, so
+            # derive: q inherits the weight's spec (same rank/layout), s
+            # keeps the layer + output axes (drop the contracting dim) —
+            # column-parallel scales shard with their channels, row-parallel
+            # scales replicate.
+            rest = path[i:]
+            if rest == ("q",):
+                return node
+            if rest == ("s",) and len(node) == 3:
+                return P(node[0], node[2])
+            return P()
         if isinstance(node, dict) and key in node:
             node = node[key]
         elif isinstance(node, list):
