@@ -213,3 +213,29 @@ def test_turbo_tp_sharded_matches_replicated(rng):
     # flips. The norm-level agreement is what matters and stays ~1e-3.
     rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
     assert rel < 5e-3, rel
+
+
+def test_turbo_whisper_pipeline_end_to_end(tmp_path, rng):
+    from stutter_tpu.audio.synthetic import make_synthetic_corpus
+    from stutter_tpu.extract import (
+        BucketBatcher,
+        ExtractionPipeline,
+        WhisperExtractor,
+        create_metadata_from_files,
+    )
+    from stutter_tpu.models import WhisperConfig, init_whisper_params
+
+    root = tmp_path / "corpus"
+    make_synthetic_corpus(str(root), n_per_split={"train": 3})
+    cfg = WhisperConfig.tiny()
+    params = init_whisper_params(jax.random.key(0), cfg)
+    pipe = ExtractionPipeline(
+        WhisperExtractor(cfg, params, preset="turbo"),
+        batcher=BucketBatcher(buckets_s=(30.0,), audio_budget_s=90.0),
+    )
+    out = tmp_path / "emb"
+    pipe.run(create_metadata_from_files(str(root), "all"), str(out))
+    npys = list((out / "train").glob("*_embeddings.npy"))
+    assert len(npys) == 6  # 3 encoder + 3 decoder taps
+    for f in npys:
+        assert np.isfinite(np.load(f)).all()
