@@ -107,6 +107,7 @@ def main(argv=None) -> int:
                     model_name, args.max_wait_ms, args.max_clips)
         server.serve(jsonl_requests(source), emit)
     finally:
+        logger.info("final serving stats: %s", server.stats())
         if source is not sys.stdin:
             source.close()
     return 0

@@ -58,6 +58,7 @@ class EmbeddingServer:
         batcher: BucketBatcher | None = None,
         max_wait_s: float = 0.25,
         max_clips: int = 64,
+        stats_every: int = 20,
     ):
         self.extractor = extractor
         self.batcher = batcher or BucketBatcher(
@@ -65,6 +66,27 @@ class EmbeddingServer:
         )
         self.max_wait_s = max_wait_s
         self.max_clips = max_clips
+        # per-request latency from arrival (queue pop) to response emit;
+        # p50/p95 logged every `stats_every` rounds and kept on the server
+        # for callers to scrape (stats())
+        self.stats_every = stats_every
+        self._latencies: list[float] = []
+        self._served = 0
+        self._failed = 0
+        self._rounds = 0
+
+    def stats(self) -> dict:
+        """Latency/volume counters since startup (latencies in seconds)."""
+        lat = np.asarray(self._latencies, np.float64)
+        out = {"served": self._served, "failed": self._failed,
+               "rounds": self._rounds}
+        if len(lat):
+            out.update(
+                p50_s=float(np.percentile(lat, 50)),
+                p95_s=float(np.percentile(lat, 95)),
+                max_s=float(lat.max()),
+            )
+        return out
 
     # -- one gathered round ------------------------------------------------
 
@@ -130,6 +152,7 @@ class EmbeddingServer:
             first = q.get()
             if first is _STOP:
                 break
+            arrivals = {first.req_id: time.monotonic()}
             gathered = [first]
             deadline = time.monotonic() + self.max_wait_s
             while len(gathered) < self.max_clips:
@@ -143,21 +166,35 @@ class EmbeddingServer:
                 if nxt is _STOP:
                     done = True
                     break
+                arrivals[nxt.req_id] = time.monotonic()
                 gathered.append(nxt)
             t0 = time.monotonic()
+
+            def tracked_emit(resp: Response, _arr=arrivals, _t0=t0):
+                self._latencies.append(
+                    time.monotonic() - _arr.get(resp.req_id, _t0))
+                if resp.ok:
+                    self._served += 1
+                else:
+                    self._failed += 1
+                emit(resp)
+
             emitted: set[str] = set()
             try:
-                self._run_round(gathered, emit, emitted)
+                self._run_round(gathered, tracked_emit, emitted)
             except Exception as e:  # noqa: BLE001 — a bad round must not kill the server
                 logger.exception("serving round failed")
                 for r in gathered:
                     if r.req_id not in emitted:  # never double-answer a request
-                        emit(Response(r.req_id, r.path, False, None,
-                                      f"round failed: {e}"))
+                        tracked_emit(Response(r.req_id, r.path, False, None,
+                                              f"round failed: {e}"))
+            self._rounds += 1
             logger.info(
                 "served %d clips in %.1f ms", len(gathered),
                 (time.monotonic() - t0) * 1e3,
             )
+            if self._rounds % self.stats_every == 0:
+                logger.info("serving stats: %s", self.stats())
         t.join(timeout=1.0)
 
 

@@ -155,3 +155,17 @@ def test_server_partial_round_failure_no_double_answers(corpus, extractor):
     assert sorted(ids) == sorted({f"r{i}" for i in range(4)}), ids  # exactly once each
     assert any(not r.ok and "batch failed" in (r.error or "") for r in responses)
     assert any(r.ok for r in responses)
+
+
+def test_server_latency_stats(corpus, extractor):
+    server = EmbeddingServer(
+        extractor,
+        batcher=BucketBatcher(buckets_s=(2.0, 4.0), audio_budget_s=8.0, max_batch=4),
+        max_wait_s=0.01, max_clips=4,
+    )
+    responses = []
+    server.serve(iter([Request(f"r{i}", p) for i, p in enumerate(corpus[:4])]),
+                 responses.append)
+    s = server.stats()
+    assert s["served"] == 4 and s["failed"] == 0 and s["rounds"] >= 1
+    assert 0 < s["p50_s"] <= s["p95_s"] <= s["max_s"]
