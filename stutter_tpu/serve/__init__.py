@@ -1,3 +1,5 @@
+from stutter_tpu.serve.http import HttpEmbeddingFrontend
 from stutter_tpu.serve.server import EmbeddingServer, Request, Response, jsonl_requests
 
-__all__ = ["EmbeddingServer", "Request", "Response", "jsonl_requests"]
+__all__ = ["EmbeddingServer", "HttpEmbeddingFrontend", "Request", "Response",
+           "jsonl_requests"]

@@ -1,0 +1,122 @@
+"""HTTP serving frontend tests: concurrent batching, stats, failure paths."""
+
+import json
+import os
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from stutter_tpu.audio.synthetic import make_synthetic_corpus
+from stutter_tpu.extract import BucketBatcher, WavLMExtractor
+from stutter_tpu.models import WavLMConfig, init_wavlm_params
+from stutter_tpu.serve import EmbeddingServer, HttpEmbeddingFrontend
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("http_corpus")
+    make_synthetic_corpus(str(root), n_per_split={"train": 6})
+    import glob
+
+    return sorted(glob.glob(os.path.join(str(root), "wav", "*.wav")))
+
+
+@pytest.fixture(scope="module")
+def frontend(corpus):
+    cfg = WavLMConfig.tiny()
+    extractor = WavLMExtractor(cfg, init_wavlm_params(jax.random.key(0), cfg),
+                               preset="fast")
+    server = EmbeddingServer(
+        extractor,
+        batcher=BucketBatcher(buckets_s=(2.0, 4.0), audio_budget_s=8.0, max_batch=4),
+        max_wait_s=0.05, max_clips=4,
+    )
+    fe = HttpEmbeddingFrontend(server, port=0, request_timeout_s=60.0)
+    fe.start()
+    yield fe
+    fe.shutdown()
+
+
+def _url(frontend, path):
+    return f"http://{frontend.host}:{frontend.port}{path}"
+
+
+def _post(frontend, body: bytes, ctype: str):
+    req = urllib.request.Request(
+        _url(frontend, "/embed"), data=body, headers={"Content-Type": ctype},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_embed_json_path(frontend, corpus):
+    status, obj = _post(frontend, json.dumps({"path": corpus[0]}).encode(),
+                        "application/json")
+    assert status == 200 and obj["ok"]
+    for col, vec in obj["embeddings"].items():
+        arr = np.asarray(vec, np.float32)
+        assert arr.ndim == 1 and np.isfinite(arr).all(), col
+
+
+def test_http_embed_raw_wav_bytes(frontend, corpus):
+    with open(corpus[1], "rb") as f:
+        wav_bytes = f.read()
+    status, obj = _post(frontend, wav_bytes, "audio/wav")
+    assert status == 200 and obj["ok"]
+    assert obj["embeddings"]
+
+
+def test_http_concurrent_requests_all_answered(frontend, corpus):
+    results = {}
+
+    def worker(i, path):
+        results[i] = _post(frontend, json.dumps({"path": path}).encode(),
+                           "application/json")
+
+    threads = [threading.Thread(target=worker, args=(i, p))
+               for i, p in enumerate(corpus[:4])]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert len(results) == 4
+    assert all(status == 200 and obj["ok"] for status, obj in results.values())
+
+
+def test_http_decode_failure_is_422(frontend, tmp_path):
+    bad = tmp_path / "junk.wav"
+    bad.write_bytes(b"not audio")
+    status, obj = _post(frontend, json.dumps({"path": str(bad)}).encode(),
+                        "application/json")
+    assert status == 422 and not obj["ok"] and obj["error"]
+
+
+def test_http_bad_request_is_400(frontend):
+    status, obj = _post(frontend, b'{"nope": 1}', "application/json")
+    assert status == 400 and not obj["ok"]
+
+
+def test_http_stats_and_healthz(frontend, corpus):
+    _post(frontend, json.dumps({"path": corpus[2]}).encode(), "application/json")
+    with urllib.request.urlopen(_url(frontend, "/healthz"), timeout=10) as r:
+        assert r.status == 200 and json.loads(r.read())["ok"]
+    with urllib.request.urlopen(_url(frontend, "/stats"), timeout=10) as r:
+        stats = json.loads(r.read())
+    assert stats["served"] >= 1 and "p50_s" in stats
+
+
+def test_http_unknown_path_is_404(frontend):
+    try:
+        with urllib.request.urlopen(_url(frontend, "/nope"), timeout=10) as r:
+            status = r.status
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 404
