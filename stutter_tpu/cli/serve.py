@@ -8,6 +8,10 @@ inline) or .npy files under --output_dir (responses then carry file paths).
 
     echo '{"id": "a", "path": "/data/clip.wav"}' | \
       python -m stutter_tpu.cli.serve --model_type wavlm --random_init
+
+With --http HOST:PORT the same batching loop serves a network endpoint
+instead (serve/http.py): POST /embed with {"path": ...} JSON or raw wav
+bytes; GET /stats, GET /healthz.
 """
 
 from __future__ import annotations
@@ -31,6 +35,11 @@ def parse_args(argv=None):
                         help="HF checkpoint path/name (default by model_type)")
     parser.add_argument("--input", type=str, default="-",
                         help="JSONL request source ('-' = stdin)")
+    parser.add_argument("--http", type=str, default=None, metavar="HOST:PORT",
+                        help="Serve over HTTP instead of JSONL stdin/file "
+                             "(POST /embed, GET /stats, GET /healthz)")
+    parser.add_argument("--request_timeout_s", type=float, default=120.0,
+                        help="HTTP mode: per-request deadline before a 422 timeout")
     parser.add_argument("--output_dir", type=str, default=None,
                         help="Write each clip's embeddings as .npy here instead "
                              "of inlining them in the response JSON")
@@ -38,6 +47,11 @@ def parse_args(argv=None):
                         help="Max time the first queued request waits for batchmates")
     parser.add_argument("--max_clips", type=int, default=64,
                         help="Max clips gathered per serving round")
+    parser.add_argument("--long_clip_policy", type=str, default="chunk",
+                        choices=["trim", "chunk"],
+                        help="Clips longer than the top bucket: 'chunk' embeds "
+                             "length-weighted top-bucket chunks, 'trim' keeps "
+                             "only the first bucket-length seconds")
     parser.add_argument("--random_init", action="store_true")
     add_mesh_args(parser)
     return parser.parse_args(argv)
@@ -77,7 +91,24 @@ def main(argv=None) -> int:
         ),
         max_wait_s=args.max_wait_ms / 1e3,
         max_clips=args.max_clips,
+        long_clip_policy=args.long_clip_policy,
     )
+
+    if args.http:
+        from stutter_tpu.serve import HttpEmbeddingFrontend
+
+        host, _, port = args.http.rpartition(":")
+        frontend = HttpEmbeddingFrontend(
+            server, host=host or "127.0.0.1", port=int(port),
+            request_timeout_s=args.request_timeout_s,
+        )
+        logger.info("HTTP serving (model=%s) on %s:%d", model_name,
+                    frontend.host, frontend.port)
+        try:
+            frontend.serve_forever()
+        finally:
+            logger.info("final serving stats: %s", server.stats())
+        return 0
 
     if args.output_dir:
         os.makedirs(args.output_dir, exist_ok=True)

@@ -297,6 +297,63 @@ class WhisperExtractor:
         return self.collect(self.submit(batch))
 
 
+def chunked_embeddings(
+    extractor, batcher: BucketBatcher, path: str,
+) -> tuple[dict[str, np.ndarray], int, float] | None:
+    """Embed one over-length file as top-bucket chunks and combine the pooled
+    embeddings weighted by each chunk's TRUE frame count. For WavLM
+    (mask-correct pooling) this equals the whole-file mean pool up to
+    chunk-boundary effects; for Whisper (pool-over-padding quirk kept) it
+    weights each chunk's padded pool by its real audio content.
+
+    Shared by the batch pipeline's 'chunk' long-file policy and the online
+    server's 'chunk' long-clip policy. Returns (column -> combined [D] f32,
+    n_chunks, audio_seconds) or None on decode failure / no usable chunks.
+    """
+    from stutter_tpu.audio.wavio import load_audio
+
+    sr = batcher.target_sr
+    chunk_samples = batcher.bucket_samples(batcher.buckets_s[-1])
+    wave = load_audio(path, target_sr=sr)
+    if wave is None:
+        logger.error("skipping %s (decode failed)", path)
+        return None
+    n_chunks = max(1, -(-len(wave) // chunk_samples))
+    # pad the chunk count up to a mesh-divisible, small-shape-set size:
+    # keeps DP sharding even and bounds the number of distinct jit shapes
+    m = max(batcher.batch_multiple, 4)
+    n_padded = ((n_chunks + m - 1) // m) * m
+    waves = np.zeros((n_padded, chunk_samples), np.float32)
+    lengths = np.zeros((n_padded,), np.int64)
+    for c in range(n_chunks):
+        seg = wave[c * chunk_samples : (c + 1) * chunk_samples]
+        waves[c, : len(seg)] = seg
+        lengths[c] = len(seg)
+    ok = np.arange(n_padded) < n_chunks
+    batch = Batch(
+        paths=[path] * n_chunks, rows=list(range(n_chunks)),
+        waves=waves, lengths=lengths, ok=ok,
+        bucket_s=chunk_samples / sr, sample_rate=sr,
+    )
+    embeddings = extractor(batch)
+    # frame counts weight each chunk's mean; tiny remainder chunks can
+    # yield <=0 through the conv floor chain -> clamp, and guard the sum
+    weights = np.array(
+        [max(0, extractor.frame_count(int(n))) if ok[c] else 0
+         for c, n in enumerate(lengths)], np.float64,
+    )
+    if weights.sum() <= 0:
+        logger.error("skipping %s (no usable chunks)", path)
+        return None
+    weights /= weights.sum()
+    combined = {
+        col: np.asarray(
+            (np.asarray(arr, np.float64) * weights[:, None]).sum(axis=0), np.float32)
+        for col, arr in embeddings.items()
+    }
+    return combined, n_chunks, float(len(wave)) / sr
+
+
 class ExtractionPipeline:
     """Split loop -> bucketed batches -> device forward -> store (C10).
 
@@ -441,59 +498,19 @@ class ExtractionPipeline:
         return df
 
     def _extract_chunked(self, meta_row, split: str) -> dict | None:
-        """Embed one over-length file as top-bucket chunks, then combine the
-        pooled embeddings weighted by each chunk's TRUE frame count. For
-        WavLM (mask-correct pooling) this equals the whole-file mean pool up
-        to chunk-boundary effects; for Whisper (pool-over-padding quirk kept)
-        it weights each chunk's padded pool by its real audio content."""
-        from stutter_tpu.audio.wavio import load_audio
-
-        sr = self.batcher.target_sr
-        chunk_samples = self.batcher.bucket_samples(self.batcher.buckets_s[-1])
-        wave = load_audio(meta_row["path"], target_sr=sr)
-        if wave is None:
-            logger.error("skipping %s (decode failed)", meta_row["path"])
+        res = chunked_embeddings(self.extractor, self.batcher, meta_row["path"])
+        if res is None:
             return None
-        n_chunks = max(1, -(-len(wave) // chunk_samples))
-        # pad the chunk count up to a mesh-divisible, small-shape-set size:
-        # keeps DP sharding even and bounds the number of distinct jit shapes
-        m = max(self.batcher.batch_multiple, 4)
-        n_padded = ((n_chunks + m - 1) // m) * m
-        waves = np.zeros((n_padded, chunk_samples), np.float32)
-        lengths = np.zeros((n_padded,), np.int64)
-        for c in range(n_chunks):
-            seg = wave[c * chunk_samples : (c + 1) * chunk_samples]
-            waves[c, : len(seg)] = seg
-            lengths[c] = len(seg)
-        ok = np.arange(n_padded) < n_chunks
-        batch = Batch(
-            paths=[meta_row["path"]] * n_chunks, rows=list(range(n_chunks)),
-            waves=waves, lengths=lengths, ok=ok,
-            bucket_s=chunk_samples / sr, sample_rate=sr,
-        )
-        embeddings = self.extractor(batch)
-        # frame counts weight each chunk's mean; tiny remainder chunks can
-        # yield <=0 through the conv floor chain -> clamp, and guard the sum
-        weights = np.array(
-            [max(0, self.extractor.frame_count(int(n))) if ok[c] else 0
-             for c, n in enumerate(lengths)], np.float64,
-        )
-        if weights.sum() <= 0:
-            logger.error("skipping %s (no usable chunks)", meta_row["path"])
-            return None
-        weights /= weights.sum()
+        combined, n_chunks, audio_s = res
         entry = {
             "filename": meta_row["filename"], "path": meta_row["path"],
-            "split": split, "chunks": n_chunks, "_audio_s": float(len(wave)) / sr,
+            "split": split, "chunks": n_chunks, "_audio_s": audio_s,
         }
         if "label" in meta_row and not pd.isna(meta_row["label"]):
             entry["label"] = meta_row["label"]
-        for col, arr in embeddings.items():
-            entry[col] = np.asarray(
-                (np.asarray(arr, np.float64) * weights[:, None]).sum(axis=0), np.float32
-            )
+        entry.update(combined)
         logger.info("chunked %s: %d chunks (%.1f s)", meta_row["filename"],
-                    n_chunks, entry["_audio_s"])
+                    n_chunks, audio_s)
         return entry
 
     def run(

@@ -59,13 +59,21 @@ class EmbeddingServer:
         max_wait_s: float = 0.25,
         max_clips: int = 64,
         stats_every: int = 20,
+        long_clip_policy: str = "chunk",
     ):
+        assert long_clip_policy in ("trim", "chunk")
         self.extractor = extractor
         self.batcher = batcher or BucketBatcher(
             audio_budget_s=max_clips * 3.0, max_batch=max_clips,
         )
         self.max_wait_s = max_wait_s
         self.max_clips = max_clips
+        # clips longer than the top bucket: 'chunk' embeds them via the
+        # pipeline's chunked path (length-weighted combination — the right
+        # serving semantic; first long clip pays that shape's compile),
+        # 'trim' keeps the reference behavior of embedding the first
+        # bucket-length seconds (WavLM_embeddings.py:112-117)
+        self.long_clip_policy = long_clip_policy
         # per-request latency from arrival (queue pop) to response emit;
         # p50/p95 logged every `stats_every` rounds and kept on the server
         # for callers to scrape (stats())
@@ -74,6 +82,10 @@ class EmbeddingServer:
         self._served = 0
         self._failed = 0
         self._rounds = 0
+
+    def reset_stats(self) -> None:
+        """Zero the counters (e.g. after compile warm-up, before measuring)."""
+        self._latencies, self._served, self._failed, self._rounds = [], 0, 0, 0
 
     def stats(self) -> dict:
         """Latency/volume counters since startup (latencies in seconds)."""
@@ -96,6 +108,20 @@ class EmbeddingServer:
         failure partway through (one bucket batch erroring) never re-answers
         requests that already got a response; per-batch try/except means one
         bad batch fails only its own requests."""
+        long_reqs: list[Request] = []
+        if self.long_clip_policy == "chunk":
+            from stutter_tpu.audio.wavio import wav_info
+
+            top_s = self.batcher.buckets_s[-1]
+            short: list[Request] = []
+            for r in reqs:
+                try:
+                    n, sr = wav_info(r.path)
+                    is_long = n / sr > top_s
+                except Exception:  # noqa: BLE001 — normal path reports decode errors
+                    is_long = False
+                (long_reqs if is_long else short).append(r)
+            reqs = short
         paths = [r.path for r in reqs]
         assignment = self.batcher.assign_buckets(paths)
         pending = []  # (reqs_for_batch, batch, device handle | exception)
@@ -130,6 +156,21 @@ class EmbeddingServer:
                     req.req_id, req.path, True,
                     {name: np.asarray(col[j], np.float32) for name, col in cols.items()},
                 ))
+        for req in long_reqs:
+            emitted.add(req.req_id)
+            try:
+                from stutter_tpu.extract.pipeline import chunked_embeddings
+
+                res = chunked_embeddings(self.extractor, self.batcher, req.path)
+            except Exception as e:  # noqa: BLE001 — one bad clip must not kill the round
+                logger.exception("chunked extraction failed for %s", req.path)
+                emit(Response(req.req_id, req.path, False, None,
+                              f"chunked extraction failed: {e}"))
+                continue
+            if res is None:
+                emit(Response(req.req_id, req.path, False, None, "decode failed"))
+            else:
+                emit(Response(req.req_id, req.path, True, res[0]))
 
     # -- serving loop ------------------------------------------------------
 

@@ -157,6 +157,49 @@ def test_server_partial_round_failure_no_double_answers(corpus, extractor):
     assert any(r.ok for r in responses)
 
 
+def test_server_chunks_long_clips(corpus, extractor, tmp_path):
+    """A clip longer than the top bucket is embedded via the chunked path and
+    matches the pipeline's chunked combination; 'trim' keeps old behavior."""
+    from stutter_tpu.audio.wavio import load_audio, write_wav
+    from stutter_tpu.extract.pipeline import chunked_embeddings
+
+    wave = load_audio(corpus[0], target_sr=16000)
+    long_wave = np.tile(wave, int(np.ceil(10.0 * 16000 / len(wave))))[: 10 * 16000]
+    long_path = str(tmp_path / "long_10s.wav")
+    write_wav(long_path, long_wave, 16000)
+
+    batcher = BucketBatcher(buckets_s=(2.0, 4.0), audio_budget_s=16.0, max_batch=4)
+    server = EmbeddingServer(
+        extractor, batcher=batcher, max_wait_s=0.01, max_clips=4,
+        long_clip_policy="chunk",
+    )
+    responses = []
+    server.serve(iter([Request("long", long_path), Request("short", corpus[1])]),
+                 responses.append)
+    by_id = {r.req_id: r for r in responses}
+    assert by_id["short"].ok and by_id["long"].ok, [r.error for r in responses]
+
+    expected, n_chunks, audio_s = chunked_embeddings(
+        extractor, BucketBatcher(buckets_s=(2.0, 4.0), audio_budget_s=16.0,
+                                 max_batch=4), long_path)
+    assert n_chunks == 3 and abs(audio_s - 10.0) < 1e-6
+    for col in expected:
+        np.testing.assert_allclose(by_id["long"].embeddings[col], expected[col],
+                                   rtol=1e-5, atol=1e-6)
+
+    # trim policy: still answered, but through the normal top-bucket batch
+    server_trim = EmbeddingServer(
+        extractor, batcher=batcher, max_wait_s=0.01, max_clips=4,
+        long_clip_policy="trim",
+    )
+    responses_trim = []
+    server_trim.serve(iter([Request("long", long_path)]), responses_trim.append)
+    assert responses_trim[0].ok
+    assert not np.allclose(
+        responses_trim[0].embeddings[next(iter(expected))], expected[next(iter(expected))]
+    )
+
+
 def test_server_latency_stats(corpus, extractor):
     server = EmbeddingServer(
         extractor,
