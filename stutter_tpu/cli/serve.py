@@ -52,6 +52,11 @@ def parse_args(argv=None):
                         help="Clips longer than the top bucket: 'chunk' embeds "
                              "length-weighted top-bucket chunks, 'trim' keeps "
                              "only the first bucket-length seconds")
+    parser.add_argument("--classifier_model", type=str, default=None,
+                        help="Path to a trained *_model.joblib (train CLI "
+                             "artifact); responses then carry the predicted "
+                             "stutter-class label + probabilities computed "
+                             "from the layer the model was trained on")
     parser.add_argument("--random_init", action="store_true")
     add_mesh_args(parser)
     return parser.parse_args(argv)
@@ -81,6 +86,12 @@ def main(argv=None) -> int:
     # program per occupied bucket (60-90 s each) for zero batching benefit
     from stutter_tpu.extract.batcher import DEFAULT_BUCKETS_S
 
+    classifier = None
+    if args.classifier_model:
+        from stutter_tpu.serve import ServingClassifier
+
+        classifier = ServingClassifier.load(args.classifier_model)
+
     server = EmbeddingServer(
         extractor,
         batcher=BucketBatcher(
@@ -92,6 +103,7 @@ def main(argv=None) -> int:
         max_wait_s=args.max_wait_ms / 1e3,
         max_clips=args.max_clips,
         long_clip_policy=args.long_clip_policy,
+        classifier=classifier,
     )
 
     if args.http:
@@ -117,6 +129,12 @@ def main(argv=None) -> int:
 
     def emit(resp):
         obj = {"id": resp.req_id, "path": resp.path, "ok": bool(resp.ok)}
+        if resp.ok and resp.prediction is not None:
+            obj["prediction"] = resp.prediction
+            if resp.probs is not None:
+                obj["probs"] = resp.probs
+        if resp.ok and resp.error:  # embeddings shipped but classification failed
+            obj["error"] = resp.error
         if not resp.ok:
             obj["error"] = resp.error
         elif args.output_dir:

@@ -1,5 +1,6 @@
+from stutter_tpu.serve.classify import ServingClassifier
 from stutter_tpu.serve.http import HttpEmbeddingFrontend
 from stutter_tpu.serve.server import EmbeddingServer, Request, Response, jsonl_requests
 
 __all__ = ["EmbeddingServer", "HttpEmbeddingFrontend", "Request", "Response",
-           "jsonl_requests"]
+           "ServingClassifier", "jsonl_requests"]

@@ -156,13 +156,20 @@ def _handler_class(frontend: HttpEmbeddingFrontend):
 
         def _reply_response(self, resp: Response) -> None:
             if resp.ok:
-                self._reply(200, {
+                obj = {
                     "id": resp.req_id, "ok": True,
                     "embeddings": {
                         k: np.asarray(v, np.float32).tolist()
                         for k, v in resp.embeddings.items()
                     },
-                })
+                }
+                if resp.prediction is not None:
+                    obj["prediction"] = resp.prediction
+                    if resp.probs is not None:
+                        obj["probs"] = resp.probs
+                if resp.error:  # ok but classification failed — surface it
+                    obj["error"] = resp.error
+                self._reply(200, obj)
             else:
                 self._reply(422, {"id": resp.req_id, "ok": False, "error": resp.error})
 

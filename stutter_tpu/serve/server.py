@@ -46,6 +46,11 @@ class Response:
     ok: bool
     embeddings: dict[str, np.ndarray] | None  # column -> [D] f32
     error: str | None = None
+    # set when the server carries a ServingClassifier (serve/classify.py):
+    # predicted class label + per-class probabilities (None when the
+    # estimator has no predict_proba, e.g. SVC without probability=True)
+    prediction: str | None = None
+    probs: dict[str, float] | None = None
 
 
 _STOP = object()
@@ -60,9 +65,22 @@ class EmbeddingServer:
         max_clips: int = 64,
         stats_every: int = 20,
         long_clip_policy: str = "chunk",
+        classifier=None,
     ):
         assert long_clip_policy in ("trim", "chunk")
         self.extractor = extractor
+        # optional ServingClassifier (serve/classify.py): when set, every
+        # successful response also carries prediction/probs computed from the
+        # classifier's embedding column. Validated eagerly against the
+        # extractor's column names so a layer/extractor mismatch fails at
+        # startup, not per-request.
+        self.classifier = classifier
+        cols = getattr(extractor, "column_names", None)
+        if classifier is not None and cols and classifier.layer not in cols:
+            raise ValueError(
+                f"classifier was trained on column '{classifier.layer}' but the "
+                f"extractor serves columns {list(cols)}"
+            )
         self.batcher = batcher or BucketBatcher(
             audio_budget_s=max_clips * 3.0, max_batch=max_clips,
         )
@@ -147,14 +165,29 @@ class EmbeddingServer:
                     emit(Response(req.req_id, req.path, False, None,
                                   f"batch failed: {e}"))
                 continue
+            # classify the whole batch in one estimator call (not per request)
+            preds: dict[int, tuple[str, dict | None]] = {}
+            classify_err = None
+            if self.classifier is not None:
+                valid = [j for j in range(len(chunk_reqs)) if batch.ok[j]]
+                try:
+                    rows = np.asarray(cols[self.classifier.layer], np.float32)[valid]
+                    labels, probs = self.classifier.predict_rows(rows)
+                    preds = {j: (labels[i], probs[i] if probs else None)
+                             for i, j in enumerate(valid)}
+                except Exception as e:  # noqa: BLE001 — embeddings still ship
+                    logger.exception("classification failed for batch")
+                    classify_err = f"classification failed: {e}"
             for j, req in enumerate(chunk_reqs):
                 emitted.add(req.req_id)
                 if not batch.ok[j]:
                     emit(Response(req.req_id, req.path, False, None, "decode failed"))
                     continue
+                label, probs_j = preds.get(j, (None, None))
                 emit(Response(
                     req.req_id, req.path, True,
                     {name: np.asarray(col[j], np.float32) for name, col in cols.items()},
+                    error=classify_err, prediction=label, probs=probs_j,
                 ))
         for req in long_reqs:
             emitted.add(req.req_id)
@@ -170,7 +203,15 @@ class EmbeddingServer:
             if res is None:
                 emit(Response(req.req_id, req.path, False, None, "decode failed"))
             else:
-                emit(Response(req.req_id, req.path, True, res[0]))
+                label, probs, classify_err = None, None, None
+                if self.classifier is not None:
+                    try:
+                        label, probs = self.classifier.classify_embeddings(res[0])
+                    except Exception as e:  # noqa: BLE001 — embeddings still ship
+                        logger.exception("classification failed for %s", req.path)
+                        classify_err = f"classification failed: {e}"
+                emit(Response(req.req_id, req.path, True, res[0],
+                              error=classify_err, prediction=label, probs=probs))
 
     # -- serving loop ------------------------------------------------------
 

@@ -41,8 +41,15 @@ def save_model(
     layer_name: str,
     classifier_name: str,
     metrics: dict | None = None,
+    class_names: list | None = None,
 ) -> str:
-    """Persist an estimator + JSON sidecar; returns the model path."""
+    """Persist an estimator + JSON sidecar; returns the model path.
+
+    ``class_names[i]`` is the human label for class index i — stored in the
+    sidecar so the serving path (serve/classify.py) can answer with labels,
+    not indices. The reference sidecar has no such field (its predictions
+    never leave the training script), so it is optional for artifact parity.
+    """
     os.makedirs(results_dir, exist_ok=True)
     base = f"{model_type}_{layer_name}_{classifier_name}"
     model_path = os.path.join(results_dir, f"{base}_model.joblib")
@@ -55,6 +62,8 @@ def save_model(
         "date": datetime.now().isoformat(),
         "framework": "stutter_tpu",
     }
+    if class_names is not None:
+        info["class_names"] = [str(c) for c in class_names]
     if metrics:
         info["metrics"] = _jsonable(
             {k: v for k, v in metrics.items() if k not in ("confusion_matrix", "estimator")}

@@ -149,7 +149,8 @@ def run_balanced_training(cfg: TrainConfig, extractor=None) -> dict:
                 plot_confusion_matrices(results["confusion_matrix"], class_names, out_dir, tag)
                 plot_per_class_metrics(results["per_class"], out_dir, tag)
             write_classification_report(results, out_dir, tag)
-            save_model(model, out_dir, cfg.model_type, layer, clf_name, results)
+            save_model(model, out_dir, cfg.model_type, layer, clf_name, results,
+                       class_names=class_names)
             all_rows.append({
                 "layer": layer, "classifier": clf_name,
                 "accuracy": results["accuracy"],
@@ -237,7 +238,8 @@ def run_grid_training(cfg: TrainConfig, extractor=None, model_names=GRID_MODELS)
         if cfg.make_plots:
             plot_confusion_matrices(best["confusion_matrix"], class_names, out_dir, best_key)
         write_classification_report(best, out_dir, best_key)
-        save_model(best["estimator"], out_dir, cfg.model_type, layer, best_key, best)
+        save_model(best["estimator"], out_dir, cfg.model_type, layer, best_key, best,
+                   class_names=class_names)
         for key, r in grid.items():
             all_rows.append({
                 "layer": layer, "configuration": key,
