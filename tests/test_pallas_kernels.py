@@ -103,7 +103,11 @@ def test_long_bucket_dispatch_padding(rng):
 
     cfg = WavLMConfig.tiny(32, 2, 4)
     params = init_wavlm_params(jax.random.key(0), cfg)
-    n = 16000 * 12  # a "long bucket" length for the tiny stem
+    # the tiny stem downsamples only 20x (3 convs), not the real stem's 320x:
+    # 0.8 s -> L=639 frames, past the L>=512 long-bucket threshold while the
+    # [L, L] bucket table / logits stay CPU-sized (12 s gave L=9600 and a
+    # ~3 GB attention that thrashed the 1-core host for >25 min)
+    n = int(16000 * 0.8)
     waves = jnp.asarray(rng.randn(2, n).astype(np.float32) * 0.1)
     lengths = jnp.asarray([n, n // 2], jnp.int32)
     out = wavlm_encode(params, waves, cfg, (2, 1), sample_lengths=lengths,
