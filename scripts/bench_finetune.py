@@ -20,10 +20,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--grad_accum", type=int, default=1,
+                    help="microbatches accumulated per optimizer update "
+                         "(effective batch = 16 * K from the batch-16 graph)")
+    args = ap.parse_args()
+
     from stutter_tpu.cli.common import enable_compilation_cache
 
     enable_compilation_cache()
-    import jax
 
     from stutter_tpu.models.wavlm import WavLMConfig
     from stutter_tpu.train.finetune import FinetuneConfig, FinetuneTrainer
@@ -31,7 +38,8 @@ def main():
 
     model_cfg = WavLMConfig.large()
     cfg = FinetuneConfig(model=model_cfg, n_classes=8)
-    trainer = FinetuneTrainer(cfg)
+    K = max(1, args.grad_accum)
+    trainer = FinetuneTrainer(cfg, grad_accum=K)
 
     batch, clip_s, sr = 16, 3.0, 16000
     n = int(clip_s * sr)
@@ -41,25 +49,37 @@ def main():
     labels = rs.randint(0, 8, batch).astype(np.int32)
     cw = np.ones((8,), np.float32)
 
+    if K > 1:
+        mbs = [(waves, lengths, labels, np.ones((batch,), np.float32))] * K
+
+        def run(sync=True):
+            return trainer.step_accum(mbs, cw, sync=sync)
+    else:
+
+        def run(sync=True):
+            return trainer.step(waves, lengths, labels, cw, sync=sync)
+
     import time
 
-    trainer.step(waves, lengths, labels, cw)  # compile + first exec
+    run()  # compile + first exec
     # async-dispatch chain (sync=False): params/opt_state flow device-side
     # step to step; one final metrics fetch — no per-step relay round trip
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters - 1):
-        trainer.step(waves, lengths, labels, cw, sync=False)
-    m = trainer.step(waves, lengths, labels, cw)
+        run(sync=False)
+    m = run()
     t = (time.perf_counter() - t0) / iters
 
     enc_flops, stem_flops, _ = wavlm_flops(model_cfg, batch, n)
-    fwd = enc_flops + stem_flops
+    fwd = (enc_flops + stem_flops) * K
     out = {
         "metric": "wavlm_large_finetune_step_throughput",
         "batch": batch,
+        "grad_accum": K,
+        "effective_batch": batch * K,
         "step_ms": round(t * 1e3, 2),
-        "audio_s_per_s": round(batch * clip_s / t, 1),
+        "audio_s_per_s": round(K * batch * clip_s / t, 1),
         "mfu_lower_bound": round(3 * fwd / t / V5E_BF16_PEAK, 3),
         "loss": float(m["loss"]),
     }

@@ -27,6 +27,12 @@ def parse_args(argv=None):
     parser.add_argument("--backbone_lr", type=float, default=1e-5)
     parser.add_argument("--head_lr", type=float, default=1e-3)
     parser.add_argument("--max_length", type=float, default=10.0)
+    parser.add_argument("--grad_accum", type=int, default=1,
+                        help="Accumulate gradients over K same-bucket batches "
+                             "before each optimizer update: effective batch "
+                             "K*batch_size from a batch_size-sized compiled "
+                             "graph (the dev remote-compile service rejects "
+                             "WavLM-Large backward graphs at batch >= 32)")
     parser.add_argument("--freeze_backbone", action="store_true",
                         help="SUPERB-style probe: train only layer weights + head")
     parser.add_argument("--random_init", action="store_true")
@@ -70,7 +76,8 @@ def main(argv=None) -> int:
         precision=__import__("jax").lax.Precision.DEFAULT,
         activation_dtype=jnp.bfloat16,
     )
-    trainer = FinetuneTrainer(cfg, backbone_params=params, mesh=mesh)
+    trainer = FinetuneTrainer(cfg, backbone_params=params, mesh=mesh,
+                              grad_accum=max(1, args.grad_accum))
     batcher = BucketBatcher(
         audio_budget_s=args.batch_size * 3.0, max_batch=args.batch_size,
         batch_multiple=mesh.data_size if mesh else 1, max_length_s=args.max_length,
@@ -94,16 +101,30 @@ def main(argv=None) -> int:
         )
         cached.append((batch.waves, batch.lengths, labels, valid))
     rng = np.random.RandomState(0)
+    K = max(1, args.grad_accum)
     for epoch in range(args.epochs):
         # async-dispatch the whole epoch (sync=False): steps chain device-side
         # through the donated params/opt_state; losses are fetched once at
         # epoch end, so the hot loop never stalls on a per-step host sync
         # (measured 2x step time through a slow host link)
         auxes = []
-        for i in rng.permutation(len(cached)):
-            waves, lengths, labels, valid = cached[i]
-            auxes.append(trainer.step(waves, lengths, labels, class_weights,
-                                      valid=valid, sync=False))
+        if K == 1:
+            for i in rng.permutation(len(cached)):
+                waves, lengths, labels, valid = cached[i]
+                auxes.append(trainer.step(waves, lengths, labels, class_weights,
+                                          valid=valid, sync=False))
+        else:
+            # grad accumulation needs same-shape microbatches: shuffle WITHIN
+            # each bucket shape, then accumulate K consecutive batches per
+            # update (short tails are valid=0-padded inside step_accum)
+            by_shape: dict[tuple, list[int]] = {}
+            for i in rng.permutation(len(cached)):
+                by_shape.setdefault(cached[i][0].shape, []).append(i)
+            for idxs in by_shape.values():
+                for s in range(0, len(idxs), K):
+                    group = [cached[i] for i in idxs[s : s + K]]
+                    auxes.append(trainer.step_accum(group, class_weights,
+                                                    sync=False))
         losses = [float(a["loss"]) for a in auxes]
         logger.info("epoch %d: mean loss %.4f", epoch, float(np.mean(losses)))
 

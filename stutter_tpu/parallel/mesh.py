@@ -41,9 +41,15 @@ class MeshPlan:
     def model_size(self) -> int:
         return self.mesh.shape.get(MODEL_AXIS, 1)
 
-    def batch_sharding(self, ndim: int = 2) -> NamedSharding:
-        """Shard the leading (batch) axis over the data axis."""
-        return NamedSharding(self.mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+    def batch_sharding(self, ndim: int = 2, axis: int = 0) -> NamedSharding:
+        """Shard the batch axis (``axis``) over the data axis.
+
+        ``axis=1`` serves gradient accumulation's [K, B, ...] stacks: the
+        microbatch axis K is scanned sequentially on every device while B
+        stays data-parallel."""
+        spec = [None] * ndim
+        spec[axis] = DATA_AXIS
+        return NamedSharding(self.mesh, P(*spec))
 
     def replicated(self) -> NamedSharding:
         return NamedSharding(self.mesh, P())
@@ -96,12 +102,15 @@ def make_mesh(
     return MeshPlan(mesh=Mesh(dev_array, (DATA_AXIS, MODEL_AXIS)))
 
 
-def shard_batch(plan: MeshPlan | None, *arrays):
+def shard_batch(plan: MeshPlan | None, *arrays, axis: int = 0):
     """Place host arrays on device, batch axis sharded over the data axis."""
     if plan is None:
         out = tuple(jax.device_put(a) for a in arrays)
     else:
-        out = tuple(jax.device_put(a, plan.batch_sharding(np.ndim(a))) for a in arrays)
+        out = tuple(
+            jax.device_put(a, plan.batch_sharding(np.ndim(a), axis=axis))
+            for a in arrays
+        )
     return out if len(out) > 1 else out[0]
 
 

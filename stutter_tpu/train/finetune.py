@@ -132,8 +132,22 @@ def make_optimizer(cfg: FinetuneConfig, params) -> optax.GradientTransformation:
     )
 
 
-def make_train_step(cfg: FinetuneConfig, tx: optax.GradientTransformation):
-    """One jit-able (params, opt_state, batch, key) -> (params, opt_state, aux)."""
+def make_train_step(cfg: FinetuneConfig, tx: optax.GradientTransformation,
+                    grad_accum: int = 1):
+    """One jit-able (params, opt_state, batch, key) -> (params, opt_state, aux).
+
+    ``grad_accum > 1`` builds the accumulating variant: batch arrays carry a
+    leading microbatch axis ([K, B, ...]) and a ``lax.scan`` accumulates the
+    un-normalized gradient sums (heads.weighted_xent_sums) before ONE
+    optimizer update — numerically identical to a K·B batch (the weighted-CE
+    mean normalizes by total weight mass, applied once to the summed grads),
+    while the compiled backward graph stays microbatch-sized. This is the
+    scale-past-the-compiler path: the dev environment's remote compile
+    service 500s on WavLM-Large backward graphs at batch >= 32 (DESIGN.md
+    §6b), and grad accumulation reaches any effective batch from the batch-16
+    graph that does compile."""
+    if grad_accum > 1:
+        return _make_accum_train_step(cfg, tx, grad_accum)
 
     def train_step(params, opt_state, waves, lengths, labels, valid, class_weights, key):
         # ``valid`` ([B] 0/1) masks bucket-pad rows and decode-failed rows out
@@ -155,6 +169,52 @@ def make_train_step(cfg: FinetuneConfig, tx: optax.GradientTransformation):
     return train_step
 
 
+def _make_accum_train_step(cfg: FinetuneConfig, tx: optax.GradientTransformation,
+                           grad_accum: int):
+    """Gradient-accumulation step: scan K microbatches, one optimizer update."""
+    from stutter_tpu.train.heads import weighted_xent_sums
+
+    def train_step(params, opt_state, waves, lengths, labels, valid, class_weights, key):
+        # waves [K, B, T], lengths/labels/valid [K, B]
+        keys = jax.random.split(key, grad_accum)
+
+        def loss_sums(p, w, l, y, v, kk):
+            logits = finetune_forward(p, w, l, cfg, train=True, rng=kk)
+            loss_sum, w_sum = weighted_xent_sums(logits, y, class_weights, valid=v)
+            return loss_sum, (w_sum, logits)
+
+        grad_fn = jax.value_and_grad(loss_sums, has_aux=True)
+
+        def micro(carry, xs):
+            g_acc, ls_acc, ws_acc, hit_acc, n_acc = carry
+            w, l, y, v, kk = xs
+            (ls, (ws, logits)), g = grad_fn(params, w, l, y, v, kk)
+            vf = v.astype(jnp.float32)
+            hits = jnp.sum((jnp.argmax(logits, -1) == y).astype(jnp.float32) * vf)
+            return (
+                jax.tree.map(jnp.add, g_acc, g),
+                ls_acc + ls, ws_acc + ws, hit_acc + hits, n_acc + jnp.sum(vf),
+            ), None
+
+        zero = jnp.zeros((), jnp.float32)
+        g0 = jax.tree.map(lambda x: jnp.zeros(x.shape, x.dtype), params)
+        (g_sum, loss_sum, w_sum, hits, n_valid), _ = jax.lax.scan(
+            micro, (g0, zero, zero, zero, zero),
+            (waves, lengths, labels, valid, keys),
+        )
+        # normalize the SUMMED grads by the total weight mass once — exactly
+        # the gradient of the K·B-batch weighted mean
+        denom = jnp.maximum(w_sum, 1e-9)
+        grads = jax.tree.map(lambda g: (g / denom).astype(g.dtype), g_sum)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        aux = {"loss": loss_sum / denom,
+               "accuracy": hits / jnp.maximum(n_valid, 1.0)}
+        return params, opt_state, aux
+
+    return train_step
+
+
 def make_eval_step(cfg: FinetuneConfig):
     def eval_step(params, waves, lengths):
         return jnp.argmax(finetune_forward(params, waves, lengths, cfg, train=False), -1)
@@ -165,11 +225,13 @@ def make_eval_step(cfg: FinetuneConfig):
 class FinetuneTrainer:
     """Minimal epoch loop over padded (waves, lengths, labels) batches."""
 
-    def __init__(self, cfg: FinetuneConfig, backbone_params=None, mesh=None):
+    def __init__(self, cfg: FinetuneConfig, backbone_params=None, mesh=None,
+                 grad_accum: int = 1):
         from stutter_tpu.parallel.mesh import replicate
 
         self.cfg = cfg
         self.mesh = mesh
+        self.grad_accum = int(grad_accum)
         self.params = init_finetune_params(cfg, backbone_params)
         self.tx = make_optimizer(cfg, self.params)
         self.opt_state = self.tx.init(self.params)
@@ -177,8 +239,19 @@ class FinetuneTrainer:
             self.params = replicate(mesh, self.params)
             self.opt_state = replicate(mesh, self.opt_state)
         self._train_step = jax.jit(make_train_step(cfg, self.tx), donate_argnums=(0, 1))
+        self._accum_step = (
+            jax.jit(make_train_step(cfg, self.tx, self.grad_accum),
+                    donate_argnums=(0, 1))
+            if self.grad_accum > 1 else None
+        )
         self._eval_step = jax.jit(make_eval_step(cfg))
         self._rng = jax.random.key(cfg.seed + 1)
+        # XLA:CPU's in-process collective rendezvous CHECK-fails (SIGABRT in
+        # InProcessCommunicator::AllGather) when many collective programs are
+        # enqueued asynchronously on the virtual multi-device test backend —
+        # cross-step rendezvous interleave. TPU streams serialize program
+        # order per device, so async chaining is only allowed there.
+        self._serialize_steps = jax.default_backend() == "cpu"
 
     def step(self, waves, lengths, labels, class_weights, valid=None,
              sync: bool = True):
@@ -202,6 +275,42 @@ class FinetuneTrainer:
             jnp.asarray(class_weights, jnp.float32), key,
         )
         if not sync:
+            if self._serialize_steps:
+                jax.block_until_ready(aux)  # one in-flight program at a time
+            return aux
+        return {k: float(v) for k, v in aux.items()}
+
+    def step_accum(self, microbatches, class_weights, sync: bool = True):
+        """One accumulated update over K same-shape microbatches.
+
+        ``microbatches`` is a list of exactly ``grad_accum`` tuples
+        ``(waves [B, T], lengths [B], labels [B], valid [B])`` sharing one
+        padded shape (one bucket); short groups are padded by repeating the
+        last microbatch with ``valid=0`` — weight-mass normalization makes
+        the repeat a numerical no-op, and the jit program keeps its single
+        static [K, B, ...] shape."""
+        assert self._accum_step is not None, "trainer built with grad_accum=1"
+        K = self.grad_accum
+        assert 1 <= len(microbatches) <= K, (len(microbatches), K)
+        mbs = list(microbatches)
+        while len(mbs) < K:
+            w, l, y, _ = mbs[-1]
+            mbs.append((w, l, y, np.zeros(len(np.asarray(y)), np.float32)))
+        from stutter_tpu.parallel.mesh import shard_batch
+
+        stacked = [np.stack([np.asarray(mb[i]) for mb in mbs]) for i in range(4)]
+        waves, lengths, labels, valid = shard_batch(
+            self.mesh, stacked[0].astype(np.float32), stacked[1].astype(np.int32),
+            stacked[2].astype(np.int32), stacked[3].astype(np.float32), axis=1,
+        )
+        self._rng, key = jax.random.split(self._rng)
+        self.params, self.opt_state, aux = self._accum_step(
+            self.params, self.opt_state, waves, lengths, labels, valid,
+            jnp.asarray(class_weights, jnp.float32), key,
+        )
+        if not sync:
+            if self._serialize_steps:
+                jax.block_until_ready(aux)
             return aux
         return {k: float(v) for k, v in aux.items()}
 

@@ -92,15 +92,18 @@ def head_forward(
     return h
 
 
-def weighted_softmax_xent(
+def weighted_xent_sums(
     logits: jax.Array,
     labels: jax.Array,
     class_weights: jax.Array | None = None,
     label_smoothing: float = 0.0,
     valid: jax.Array | None = None,
-) -> jax.Array:
-    """Class-weighted CE; ``valid`` ([B] 0/1) masks pad/failed rows out of the
-    weighted mean so bucket-padded batches don't bias toward label 0."""
+) -> tuple[jax.Array, jax.Array]:
+    """(weighted loss SUM, weight mass) — the un-normalized pair.
+
+    Splitting sum from normalization makes gradient accumulation exact:
+    microbatch sums add like one big batch, and the accumulated gradient is
+    normalized once by the total weight mass (train/finetune.py)."""
     n_classes = logits.shape[-1]
     onehot = jax.nn.one_hot(labels, n_classes)
     if label_smoothing > 0.0:
@@ -110,7 +113,22 @@ def weighted_softmax_xent(
     w = class_weights[labels] if class_weights is not None else jnp.ones_like(per_example)
     if valid is not None:
         w = w * valid.astype(w.dtype)
-    return jnp.sum(per_example * w) / jnp.maximum(jnp.sum(w), 1e-9)
+    return jnp.sum(per_example * w), jnp.sum(w)
+
+
+def weighted_softmax_xent(
+    logits: jax.Array,
+    labels: jax.Array,
+    class_weights: jax.Array | None = None,
+    label_smoothing: float = 0.0,
+    valid: jax.Array | None = None,
+) -> jax.Array:
+    """Class-weighted CE; ``valid`` ([B] 0/1) masks pad/failed rows out of the
+    weighted mean so bucket-padded batches don't bias toward label 0."""
+    loss_sum, w_sum = weighted_xent_sums(
+        logits, labels, class_weights, label_smoothing, valid
+    )
+    return loss_sum / jnp.maximum(w_sum, 1e-9)
 
 
 @functools.lru_cache(maxsize=64)

@@ -125,7 +125,16 @@ def test_extract_wavlm_cli_tp(corpus, tmp_path, monkeypatch):
 
 def test_finetune_cli(corpus, tmp_path, monkeypatch):
     """End-to-end fine-tune CLI smoke: trains with the valid-row mask (pad
-    rows excluded from loss) and writes results + model artifacts."""
+    rows excluded from loss) and writes results + model artifacts.
+
+    --devices 2 keeps a real DP mesh (sharded batch + grad psum) while
+    bounding the collective to 2 participants: XLA:CPU's rendezvous
+    spin-waits, so on this 1-core host an 8-way all-reduce whose per-device
+    portion is a full fwd+bwd step accumulates ~70 s arrival skew and trips
+    the ~90 s fatal termination timeout (observed SIGABRT in
+    InProcessCommunicator::AllReduce). 8-device coverage stays in
+    test_graft_entry/dryrun_multichip and tests/test_parallel.py, whose
+    per-device programs are small enough to rendezvous promptly."""
     from stutter_tpu.models import WavLMConfig
 
     monkeypatch.setattr(
@@ -138,11 +147,36 @@ def test_finetune_cli(corpus, tmp_path, monkeypatch):
         "--data_dir", corpus, "--results_dir", results,
         "--model_name", "microsoft/wavlm-base", "--random_init",
         "--epochs", "1", "--batch_size", "8", "--max_length", "4.0",
+        "--devices", "2",
     ])
     assert rc == 0
     assert os.path.exists(os.path.join(results, "finetune_results.json"))
     saved = [f for f in os.listdir(results) if f.endswith((".joblib", ".json"))]
     assert saved
+
+
+def test_finetune_cli_grad_accum(corpus, tmp_path, monkeypatch):
+    """--grad_accum groups same-bucket batches into accumulated updates
+    (numerics pinned by tests/test_grad_accum.py; this covers the CLI's
+    shape-grouping + tail-padding plumbing). --devices 1: the accum loop is
+    device-count-independent and single-device avoids the CPU-host collective
+    rendezvous cost documented on test_finetune_cli."""
+    from stutter_tpu.models import WavLMConfig
+
+    monkeypatch.setattr(
+        WavLMConfig, "base", staticmethod(lambda: WavLMConfig.tiny(32, 2, 4))
+    )
+    from stutter_tpu.cli.finetune import main
+
+    results = str(tmp_path / "ft_accum_results")
+    rc = main([
+        "--data_dir", corpus, "--results_dir", results,
+        "--model_name", "microsoft/wavlm-base", "--random_init",
+        "--epochs", "1", "--batch_size", "4", "--max_length", "4.0",
+        "--devices", "1", "--grad_accum", "2",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(results, "finetune_results.json"))
 
 
 def test_extract_wavlm_cli_turbo_preset(corpus, tmp_path, monkeypatch):

@@ -1,0 +1,88 @@
+"""Gradient accumulation: K microbatches == one K·B batch, exactly.
+
+The accumulating step (train/finetune.py:_make_accum_train_step) exists to
+scale effective batch past the dev environment's remote-compile limit
+(WavLM-Large backward graphs 500 at batch >= 32 — DESIGN.md §6b). Its
+correctness contract is strict equality with the big-batch step: summed
+un-normalized grads (heads.weighted_xent_sums) normalized once by total
+weight mass ARE the big-batch weighted-mean gradient.
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from stutter_tpu.models import WavLMConfig
+from stutter_tpu.train.finetune import FinetuneConfig, FinetuneTrainer
+
+
+def _cfg():
+    # deterministic forward: no SpecAugment, no head dropout — the accum
+    # path draws per-microbatch rng keys, so stochastic layers would differ
+    # from the big batch by design
+    model = dataclasses.replace(WavLMConfig.tiny(32, 2, 4), apply_spec_augment=False)
+    return FinetuneConfig(model=model, n_classes=3, head_hidden=(16,),
+                          head_dropout=0.0, activation_dtype=jax.numpy.float32)
+
+
+def _batch(rng, b, n=3200):
+    waves = (rng.randn(b, n) * 0.1).astype(np.float32)
+    lengths = np.full((b,), n, np.int32)
+    labels = rng.randint(0, 3, size=b).astype(np.int32)
+    valid = np.ones((b,), np.float32)
+    return waves, lengths, labels, valid
+
+
+def _tree_allclose(a, b, atol):
+    flat_a, _ = jax.tree.flatten(a)
+    flat_b, _ = jax.tree.flatten(b)
+    for x, y in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=atol)
+
+
+def test_grad_accum_matches_big_batch(rng):
+    cfg = _cfg()
+    cw = np.array([1.0, 2.0, 0.5], np.float32)
+    mb1, mb2 = _batch(rng, 4), _batch(rng, 4)
+    big = tuple(np.concatenate([a, b]) for a, b in zip(mb1, mb2))
+
+    accum = FinetuneTrainer(cfg, grad_accum=2)
+    ref = FinetuneTrainer(cfg)
+    # identical init by construction (same cfg.seed)
+    _tree_allclose(accum.params, ref.params, atol=0)
+
+    aux_a = accum.step_accum([mb1, mb2], cw)
+    aux_r = ref.step(big[0], big[1], big[2], cw, valid=big[3])
+
+    assert np.isfinite(aux_a["loss"])
+    np.testing.assert_allclose(aux_a["loss"], aux_r["loss"], atol=1e-5)
+    np.testing.assert_allclose(aux_a["accuracy"], aux_r["accuracy"], atol=1e-6)
+    # one adamw update from identical grads -> identical params (fp-sum
+    # reassociation between the scan and the fused batch is the only slack)
+    _tree_allclose(accum.params, ref.params, atol=5e-5)
+
+
+def test_grad_accum_short_group_pads_as_noop(rng):
+    """A short group (len < K) padded with valid=0 repeats == exact K'=len accum."""
+    cfg = _cfg()
+    cw = np.ones((3,), np.float32)
+    mb1, mb2 = _batch(rng, 4), _batch(rng, 4)
+
+    padded = FinetuneTrainer(cfg, grad_accum=3)
+    exact = FinetuneTrainer(cfg, grad_accum=2)
+
+    aux_p = padded.step_accum([mb1, mb2], cw)  # internally padded to K=3
+    aux_e = exact.step_accum([mb1, mb2], cw)
+
+    np.testing.assert_allclose(aux_p["loss"], aux_e["loss"], atol=1e-5)
+    _tree_allclose(padded.params, exact.params, atol=5e-5)
+
+
+def test_grad_accum_rejects_oversized_group(rng):
+    cfg = _cfg()
+    t = FinetuneTrainer(cfg, grad_accum=2)
+    mbs = [_batch(rng, 4)] * 3
+    with pytest.raises(AssertionError):
+        t.step_accum(mbs, np.ones((3,), np.float32))
