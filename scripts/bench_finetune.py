@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--grad_accum", type=int, default=1,
                     help="microbatches accumulated per optimizer update "
                          "(effective batch = 16 * K from the batch-16 graph)")
+    ap.add_argument("--no_remat", action="store_true",
+                    help="keep encoder activations for the backward pass "
+                         "instead of recomputing (trades HBM for the remat "
+                         "forward)")
     args = ap.parse_args()
 
     from stutter_tpu.cli.common import enable_compilation_cache
@@ -37,7 +41,8 @@ def main():
     from stutter_tpu.utils.benchmarking import V5E_BF16_PEAK, wavlm_flops
 
     model_cfg = WavLMConfig.large()
-    cfg = FinetuneConfig(model=model_cfg, n_classes=8)
+    cfg = FinetuneConfig(model=model_cfg, n_classes=8,
+                         remat_encoder=not args.no_remat)
     K = max(1, args.grad_accum)
     trainer = FinetuneTrainer(cfg, grad_accum=K)
 

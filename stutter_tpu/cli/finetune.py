@@ -35,6 +35,12 @@ def parse_args(argv=None):
                              "WavLM-Large backward graphs at batch >= 32)")
     parser.add_argument("--freeze_backbone", action="store_true",
                         help="SUPERB-style probe: train only layer weights + head")
+    parser.add_argument("--no_remat", action="store_true",
+                        help="Keep encoder activations for the backward pass "
+                             "instead of recomputing. Measured +24%% step "
+                             "throughput at batch 16 x 3 s on one v5e chip "
+                             "(554 vs 445 audio-s/s); default stays remat for "
+                             "headroom at bigger batch x length products")
     parser.add_argument("--random_init", action="store_true")
     add_mesh_args(parser)
     return parser.parse_args(argv)
@@ -73,6 +79,7 @@ def main(argv=None) -> int:
         model=cfg_model, n_classes=len(class_names),
         backbone_lr=args.backbone_lr, head_lr=args.head_lr,
         freeze_backbone=args.freeze_backbone,
+        remat_encoder=not args.no_remat,
         precision=__import__("jax").lax.Precision.DEFAULT,
         activation_dtype=jnp.bfloat16,
     )

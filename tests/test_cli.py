@@ -173,7 +173,7 @@ def test_finetune_cli_grad_accum(corpus, tmp_path, monkeypatch):
         "--data_dir", corpus, "--results_dir", results,
         "--model_name", "microsoft/wavlm-base", "--random_init",
         "--epochs", "1", "--batch_size", "4", "--max_length", "4.0",
-        "--devices", "1", "--grad_accum", "2",
+        "--devices", "1", "--grad_accum", "2", "--no_remat",
     ])
     assert rc == 0
     assert os.path.exists(os.path.join(results, "finetune_results.json"))
