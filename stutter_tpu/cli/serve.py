@@ -30,9 +30,14 @@ from stutter_tpu.utils.logging import setup_logging
 def parse_args(argv=None):
     parser = argparse.ArgumentParser(description="Online embedding server")
     parser.add_argument("--model_type", type=str, default="wavlm",
-                        choices=["wavlm", "wavlm_large", "whisper", "whisper_large_fixed"])
+                        choices=["wavlm", "wavlm_large", "whisper",
+                                 "whisper_large_fixed", "combined"])
     parser.add_argument("--model_name", type=str, default=None,
-                        help="HF checkpoint path/name (default by model_type)")
+                        help="HF checkpoint path/name (default by model_type; "
+                             "for 'combined' this names the WavLM part)")
+    parser.add_argument("--whisper_model_name", type=str,
+                        default="openai/whisper-large",
+                        help="'combined' only: the Whisper part's checkpoint")
     parser.add_argument("--input", type=str, default="-",
                         help="JSONL request source ('-' = stdin)")
     parser.add_argument("--http", type=str, default=None, metavar="HOST:PORT",
@@ -47,6 +52,13 @@ def parse_args(argv=None):
                         help="Max time the first queued request waits for batchmates")
     parser.add_argument("--max_clips", type=int, default=64,
                         help="Max clips gathered per serving round")
+    parser.add_argument("--buckets", type=str, default=None,
+                        help="Comma-separated bucket lengths in seconds "
+                             "(default: the extractor's preference — 30 for "
+                             "whisper/combined, multi-bucket for wavlm). Each "
+                             "occupied bucket costs one device-program "
+                             "compile; fewer buckets = fewer compiles, more "
+                             "padding compute")
     parser.add_argument("--long_clip_policy", type=str, default="chunk",
                         choices=["trim", "chunk"],
                         help="Clips longer than the top bucket: 'chunk' embeds "
@@ -70,12 +82,26 @@ def main(argv=None) -> int:
     from stutter_tpu.serve import EmbeddingServer, jsonl_requests
 
     mesh = build_mesh(args)
-    model_name = args.model_name or (
-        "microsoft/wavlm-large" if "wavlm" in args.model_type else "openai/whisper-large"
-    )
-    extractor = build_extractor_for(
-        args.model_type, model_name, args.random_init, mesh, args.preset
-    )
+    if args.model_type == "combined":
+        # both backbones in one server: fusion-store column naming incl.
+        # combined_top, so 'combined'-trained classifiers serve (serve/combined.py)
+        from stutter_tpu.serve import CombinedExtractor
+
+        model_name = args.model_name or "microsoft/wavlm-large"
+        extractor = CombinedExtractor(
+            build_extractor_for("wavlm", model_name, args.random_init, mesh,
+                                args.preset),
+            build_extractor_for("whisper", args.whisper_model_name,
+                                args.random_init, mesh, args.preset),
+        )
+    else:
+        model_name = args.model_name or (
+            "microsoft/wavlm-large" if "wavlm" in args.model_type
+            else "openai/whisper-large"
+        )
+        extractor = build_extractor_for(
+            args.model_type, model_name, args.random_init, mesh, args.preset
+        )
     if extractor is None:
         logger.error("unsupported model_type %s", args.model_type)
         return 1
@@ -92,10 +118,13 @@ def main(argv=None) -> int:
 
         classifier = ServingClassifier.load(args.classifier_model)
 
+    buckets = (tuple(float(b) for b in args.buckets.split(",")) if args.buckets
+               else None)
     server = EmbeddingServer(
         extractor,
         batcher=BucketBatcher(
-            buckets_s=getattr(extractor, "preferred_buckets", None) or DEFAULT_BUCKETS_S,
+            buckets_s=buckets
+            or getattr(extractor, "preferred_buckets", None) or DEFAULT_BUCKETS_S,
             audio_budget_s=args.max_clips * 3.0, max_batch=args.max_clips,
             batch_multiple=mesh.data_size if mesh else 1,
             frame_align=getattr(extractor, "frame_align", None),
@@ -139,8 +168,17 @@ def main(argv=None) -> int:
             obj["error"] = resp.error
         elif args.output_dir:
             stem = os.path.splitext(os.path.basename(resp.path))[0]
-            fname = os.path.join(args.output_dir, f"{resp.req_id}_{stem}.npy")
-            np.save(fname, np.stack(list(resp.embeddings.values())))
+            base = os.path.join(args.output_dir, f"{resp.req_id}_{stem}")
+            dims = {np.asarray(v).shape[-1] for v in resp.embeddings.values()}
+            if len(dims) == 1:
+                fname = base + ".npy"
+                np.save(fname, np.stack(list(resp.embeddings.values())))
+            else:
+                # ragged columns (combined: wavlm/whisper widths + the
+                # hstacked combined_top) -> one npz keyed by column
+                fname = base + ".npz"
+                np.savez(fname, **{k: np.asarray(v, np.float32)
+                                   for k, v in resp.embeddings.items()})
             obj["file"] = fname
             obj["columns"] = list(resp.embeddings.keys())
         else:

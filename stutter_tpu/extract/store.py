@@ -111,17 +111,23 @@ def load_embeddings_combined(
         out_layers = {k: v[keep] for k, v in out_layers.items()}
 
     # concatenated top-layer fusion feature
-    def top_key(part_idx: int) -> str:
-        ls = layer_sets[part_idx]
-        def num(k):
-            tail = k.rsplit("_", 1)[-1]
-            return int(tail) if tail.isdigit() else -1
-        pref = [k for k in ls if not k.startswith("decoder_")] or list(ls)
-        return max(pref, key=num)
-
-    tops = [out_layers[f"{p}_{top_key(i)}"] for i, p in enumerate(parts)]
+    tops = [out_layers[f"{p}_{combined_top_key(layer_sets[i])}"]
+            for i, p in enumerate(parts)]
     out_layers["combined_top"] = np.hstack(tops)
     return base, out_layers
+
+
+def combined_top_key(columns) -> str:
+    """The per-part 'top' layer feeding ``combined_top``: the highest-numbered
+    non-decoder column. Shared by the fusion store above and the combined
+    serving extractor (serve/combined.py) so the two can't drift."""
+
+    def num(k):
+        tail = k.rsplit("_", 1)[-1]
+        return int(tail) if tail.isdigit() else -1
+
+    pref = [k for k in columns if not k.startswith("decoder_")] or list(columns)
+    return max(pref, key=num)
 
 
 def load_embeddings(
