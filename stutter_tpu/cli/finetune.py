@@ -41,6 +41,14 @@ def parse_args(argv=None):
                              "throughput at batch 16 x 3 s on one v5e chip "
                              "(554 vs 445 audio-s/s); default stays remat for "
                              "headroom at bigger batch x length products")
+    parser.add_argument("--checkpoint_dir", type=str, default=None,
+                        help="Save the full train state (params + opt_state, "
+                             "orbax, shard-aware) here after every epoch; "
+                             "off when unset")
+    parser.add_argument("--resume", action="store_true",
+                        help="Restore the latest state under --checkpoint_dir "
+                             "and continue from its epoch (rng/dropout state "
+                             "is not part of the checkpoint)")
     parser.add_argument("--random_init", action="store_true")
     add_mesh_args(parser)
     return parser.parse_args(argv)
@@ -107,9 +115,23 @@ def main(argv=None) -> int:
             np.float32,
         )
         cached.append((batch.waves, batch.lengths, labels, valid))
+    start_epoch = 0
+    if args.resume:
+        from stutter_tpu.train.checkpointing import latest_step, restore_train_state
+
+        if not args.checkpoint_dir:
+            logger.error("--resume requires --checkpoint_dir")
+            return 2
+        step = latest_step(args.checkpoint_dir)
+        if step is not None:
+            trainer.params, trainer.opt_state, start_epoch = restore_train_state(
+                args.checkpoint_dir, step, trainer.params, trainer.opt_state
+            )
+            logger.info("resuming from epoch %d", start_epoch)
+
     rng = np.random.RandomState(0)
     K = max(1, args.grad_accum)
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         # async-dispatch the whole epoch (sync=False): steps chain device-side
         # through the donated params/opt_state; losses are fetched once at
         # epoch end, so the hot loop never stalls on a per-step host sync
@@ -134,6 +156,12 @@ def main(argv=None) -> int:
                                                     sync=False))
         losses = [float(a["loss"]) for a in auxes]
         logger.info("epoch %d: mean loss %.4f", epoch, float(np.mean(losses)))
+        if args.checkpoint_dir:
+            from stutter_tpu.train.checkpointing import save_train_state
+
+            # epoch index as the checkpoint step: resume restarts at epoch+1
+            save_train_state(args.checkpoint_dir, epoch + 1,
+                             trainer.params, trainer.opt_state)
 
     # evaluation
     y_true, y_pred = [], []

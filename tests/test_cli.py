@@ -179,6 +179,35 @@ def test_finetune_cli_grad_accum(corpus, tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(results, "finetune_results.json"))
 
 
+def test_finetune_cli_checkpoint_resume(corpus, tmp_path, monkeypatch):
+    """--checkpoint_dir saves orbax train state per epoch; --resume restarts
+    from the latest epoch (same flags as the grad-accum smoke so the jit
+    programs are shared through the persistent compile cache)."""
+    from stutter_tpu.models import WavLMConfig
+
+    monkeypatch.setattr(
+        WavLMConfig, "base", staticmethod(lambda: WavLMConfig.tiny(32, 2, 4))
+    )
+    from stutter_tpu.cli.finetune import main
+
+    results = str(tmp_path / "ft_ckpt_results")
+    ckpt = str(tmp_path / "ft_ckpt")
+    common = [
+        "--data_dir", corpus, "--results_dir", results,
+        "--model_name", "microsoft/wavlm-base", "--random_init",
+        "--batch_size", "4", "--max_length", "4.0",
+        "--devices", "1", "--grad_accum", "2", "--no_remat",
+        "--checkpoint_dir", ckpt,
+    ]
+    assert main(common + ["--epochs", "1"]) == 0
+    assert os.path.isdir(os.path.join(ckpt, "step_00000001"))
+
+    # resume continues at epoch 1 and saves epoch 2's state
+    assert main(common + ["--epochs", "2", "--resume"]) == 0
+    assert os.path.isdir(os.path.join(ckpt, "step_00000002"))
+    assert os.path.exists(os.path.join(results, "finetune_results.json"))
+
+
 def test_extract_wavlm_cli_turbo_preset(corpus, tmp_path, monkeypatch):
     """--preset turbo drives the int8 path through the full CLI contract."""
     from stutter_tpu.models import WavLMConfig
