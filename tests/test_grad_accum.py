@@ -80,6 +80,29 @@ def test_grad_accum_short_group_pads_as_noop(rng):
     _tree_allclose(padded.params, exact.params, atol=5e-5)
 
 
+def test_grad_accum_dp_mesh_matches_unsharded(rng):
+    """[K, B] stacks DP-sharded on axis 1 == the unsharded accumulation.
+
+    dp=2 keeps the collective at 2 participants with a tiny per-device
+    program (the XLA:CPU rendezvous spin-wait constraint — CLAUDE.md)."""
+    import jax
+
+    from stutter_tpu.parallel.mesh import make_mesh
+
+    cfg = _cfg()
+    cw = np.ones((3,), np.float32)
+    mb1, mb2 = _batch(rng, 4), _batch(rng, 4)
+
+    sharded = FinetuneTrainer(cfg, mesh=make_mesh(jax.devices()[:2], data=2),
+                              grad_accum=2)
+    local = FinetuneTrainer(cfg, grad_accum=2)
+
+    aux_s = sharded.step_accum([mb1, mb2], cw)
+    aux_l = local.step_accum([mb1, mb2], cw)
+    np.testing.assert_allclose(aux_s["loss"], aux_l["loss"], atol=1e-5)
+    _tree_allclose(sharded.params, local.params, atol=5e-5)
+
+
 def test_grad_accum_rejects_oversized_group(rng):
     cfg = _cfg()
     t = FinetuneTrainer(cfg, grad_accum=2)
