@@ -216,6 +216,9 @@ def main() -> None:
     # whisper param trees (f32 6.2 GB + bf16 3.1 + int8 1.6) plus these
     # otherwise exhaust the 16 GB HBM
     del bench_params, fast_params, turbo_params, params
+    # headline_args aliases bench_params/waves_d — without this del the tuple
+    # keeps the whole WavLM tree alive and the dels below free nothing
+    del headline_args
     del waves_d, lengths_d, hidden, fl
     whisper_stats = {}
     if _budget_left() > 420:

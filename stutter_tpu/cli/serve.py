@@ -77,6 +77,15 @@ def parse_args(argv=None):
 def main(argv=None) -> int:
     args = parse_args(argv)
     logger = setup_logging("serve")
+    # validate the listen address BEFORE the model build — a bad --http must
+    # not surface as an int() traceback after minutes of TPU compiles
+    http_host = http_port = None
+    if args.http:
+        http_host, _, port_str = args.http.rpartition(":")
+        if not port_str.isdigit():
+            logger.error("--http expects HOST:PORT, got %r", args.http)
+            return 2
+        http_port = int(port_str)
     from stutter_tpu.cli.train import build_extractor_for
     from stutter_tpu.extract.batcher import BucketBatcher
     from stutter_tpu.serve import EmbeddingServer, jsonl_requests
@@ -138,9 +147,8 @@ def main(argv=None) -> int:
     if args.http:
         from stutter_tpu.serve import HttpEmbeddingFrontend
 
-        host, _, port = args.http.rpartition(":")
         frontend = HttpEmbeddingFrontend(
-            server, host=host or "127.0.0.1", port=int(port),
+            server, host=http_host or "127.0.0.1", port=http_port,
             request_timeout_s=args.request_timeout_s,
         )
         logger.info("HTTP serving (model=%s) on %s:%d", model_name,

@@ -101,17 +101,25 @@ class BucketBatcher:
             return max(m, (b // m) * m)
         return ((b + m - 1) // m) * m
 
-    def assign_buckets(self, paths: Sequence[str]) -> dict[float, list[int]]:
-        """Probe headers and group file indices by smallest covering bucket."""
+    def assign_buckets(
+        self, paths: Sequence[str], durations: Sequence[float | None] | None = None,
+    ) -> dict[float, list[int]]:
+        """Probe headers and group file indices by smallest covering bucket.
+
+        ``durations`` skips the header probe where the caller already knows
+        a clip's length (the serving loop probes every request once for the
+        long-clip split — entry None falls back to probing)."""
         assignment: dict[float, list[int]] = {b: [] for b in self.buckets_s}
         top = self.buckets_s[-1]
         for i, p in enumerate(paths):
-            try:
-                n, sr = wav_info(p)
-                dur = n / sr
-            except Exception as e:  # noqa: BLE001
-                logger.error("cannot probe %s (%s); assigning top bucket", p, e)
-                dur = top
+            dur = durations[i] if durations is not None else None
+            if dur is None:
+                try:
+                    n, sr = wav_info(p)
+                    dur = n / sr
+                except Exception as e:  # noqa: BLE001
+                    logger.error("cannot probe %s (%s); assigning top bucket", p, e)
+                    dur = top
             bucket = next((b for b in self.buckets_s if dur <= b), top)
             assignment[bucket].append(i)
         return {b: idxs for b, idxs in assignment.items() if idxs}

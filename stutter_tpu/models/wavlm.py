@@ -343,6 +343,7 @@ def gated_relpos_attention(
     cfg: WavLMConfig,
     precision,
     allow_flash: bool = True,
+    f32_softmax: bool = False,
 ) -> jax.Array:
     """One gated relative-position-bias MHA (modeling_wavlm.py:110-241).
 
@@ -453,7 +454,7 @@ def gated_relpos_attention(
         out = wavlm_fused_attention(
             q * scale, k, v, position_bias.astype(jnp.float32), gate, mask2
         )
-    elif x.dtype == jnp.bfloat16:
+    elif x.dtype == jnp.bfloat16 and not f32_softmax:
         # fast preset: keep the [B, H, L, L] logits/bias/softmax in bf16 —
         # these tensors are pure HBM traffic (~210 MB/layer in f32 at
         # B=128/L=160) and bf16's ~0.4% relative error post-max-subtraction
@@ -496,17 +497,18 @@ def _encoder_layer(
     cfg: WavLMConfig,
     precision,
     allow_flash: bool = True,
+    f32_softmax: bool = False,
 ) -> jax.Array:
     eps = cfg.layer_norm_eps
     if cfg.do_stable_layer_norm:  # pre-LN (modeling_wavlm.py:339-373)
         attn_in = layer_norm(x, {"scale": layer["ln1_s"], "bias": layer["ln1_b"]}, eps)
         x = x + gated_relpos_attention(layer, attn_in, position_bias, key_mask_bias, cfg,
-                                       precision, allow_flash)
+                                       precision, allow_flash, f32_softmax)
         ff_in = layer_norm(x, {"scale": layer["ln2_s"], "bias": layer["ln2_b"]}, eps)
         return x + feed_forward(layer, ff_in, precision)
     # post-LN (modeling_wavlm.py:298-336)
     x = x + gated_relpos_attention(layer, x, position_bias, key_mask_bias, cfg, precision,
-                                   allow_flash)
+                                   allow_flash, f32_softmax)
     x = layer_norm(x, {"scale": layer["ln1_s"], "bias": layer["ln1_b"]}, eps)
     x = x + feed_forward(layer, x, precision)
     return layer_norm(x, {"scale": layer["ln2_s"], "bias": layer["ln2_b"]}, eps)
@@ -520,6 +522,7 @@ def wavlm_encoder(
     precision,
     reducer=None,
     use_flash: bool = True,
+    f32_attention_softmax: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Run the transformer stack via lax.scan over stacked layer params.
 
@@ -548,7 +551,7 @@ def wavlm_encoder(
     def body(carry, layer):
         # cast back: f32 biases/LN params upcast bf16 activations otherwise
         out = _encoder_layer(layer, carry, position_bias, key_mask_bias, cfg, precision,
-                             use_flash)
+                             use_flash, f32_attention_softmax)
         out = out.astype(carry.dtype)
         return out, collect(carry)  # yield layer INPUT (HF hidden_states[i])
 
@@ -577,6 +580,7 @@ def wavlm_forward(
     spec_augment_rng: jax.Array | None = None,
     hidden_reducer=None,
     use_flash: bool = True,
+    f32_attention_softmax: bool = False,
 ):
     """Full WavLM forward with all hidden states (WavLMModel.forward parity).
 
@@ -620,6 +624,7 @@ def wavlm_forward(
         params["encoder"], hidden,
         frame_lengths if sample_lengths is not None else None,
         cfg, precision, reducer=hidden_reducer, use_flash=use_flash,
+        f32_attention_softmax=f32_attention_softmax,
     )
     return last, all_hidden, frame_lengths
 

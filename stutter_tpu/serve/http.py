@@ -187,6 +187,10 @@ def _handler_class(frontend: HttpEmbeddingFrontend):
                 return
             length = int(self.headers.get("Content-Length") or 0)
             if length <= 0 or length > _MAX_BODY_BYTES:
+                # the unread body would desynchronize an HTTP/1.1 keep-alive
+                # connection (the next request line parses mid-body) — drop
+                # the connection after replying instead of draining >64 MB
+                self.close_connection = True
                 self._reply(400, {"ok": False,
                                   "error": f"body required (<= {_MAX_BODY_BYTES} bytes)"})
                 return

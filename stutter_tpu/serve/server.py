@@ -96,17 +96,23 @@ class EmbeddingServer:
         # p50/p95 logged every `stats_every` rounds and kept on the server
         # for callers to scrape (stats())
         self.stats_every = stats_every
-        self._latencies: list[float] = []
+        # bounded: a long-running server must not grow one float per request
+        # forever — the most recent window carries the same p50/p95 signal
+        from collections import deque
+
+        self._latencies: "deque[float]" = deque(maxlen=100_000)
         self._served = 0
         self._failed = 0
         self._rounds = 0
 
     def reset_stats(self) -> None:
         """Zero the counters (e.g. after compile warm-up, before measuring)."""
-        self._latencies, self._served, self._failed, self._rounds = [], 0, 0, 0
+        self._latencies.clear()
+        self._served, self._failed, self._rounds = 0, 0, 0
 
     def stats(self) -> dict:
-        """Latency/volume counters since startup (latencies in seconds)."""
+        """Volume counters since startup; latency percentiles over the most
+        recent 100k requests (seconds)."""
         lat = np.asarray(self._latencies, np.float64)
         out = {"served": self._served, "failed": self._failed,
                "rounds": self._rounds}
@@ -127,21 +133,27 @@ class EmbeddingServer:
         requests that already got a response; per-batch try/except means one
         bad batch fails only its own requests."""
         long_reqs: list[Request] = []
+        durations: list[float | None] | None = None
         if self.long_clip_policy == "chunk":
             from stutter_tpu.audio.wavio import wav_info
 
             top_s = self.batcher.buckets_s[-1]
             short: list[Request] = []
+            durations = []
             for r in reqs:
                 try:
                     n, sr = wav_info(r.path)
-                    is_long = n / sr > top_s
+                    dur = n / sr
                 except Exception:  # noqa: BLE001 — normal path reports decode errors
-                    is_long = False
-                (long_reqs if is_long else short).append(r)
+                    dur = None
+                if dur is not None and dur > top_s:
+                    long_reqs.append(r)
+                else:
+                    short.append(r)
+                    durations.append(dur)  # reused by assign_buckets below
             reqs = short
         paths = [r.path for r in reqs]
-        assignment = self.batcher.assign_buckets(paths)
+        assignment = self.batcher.assign_buckets(paths, durations=durations)
         pending = []  # (reqs_for_batch, batch, device handle | exception)
         for bucket_s, rows in assignment.items():
             for i in range(0, len(rows), self.batcher.batch_size_for(bucket_s)):

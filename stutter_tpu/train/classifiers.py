@@ -61,6 +61,16 @@ class LabelEncodedClassifier:
     def predict_proba(self, X):
         return self.base.predict_proba(X)
 
+    @property
+    def classes_(self):
+        """Original labels in encoded-column order (sklearn contract).
+
+        predict_proba's columns follow the ENCODED indices; without this,
+        consumers that map columns to labels (serve/classify.py) would key
+        probabilities by raw column position — wrong whenever the trained
+        label set is non-contiguous (e.g. a class present only in eval)."""
+        return self.label_encoder_.classes_
+
 
 def make_classifier(
     classifier_type: str,

@@ -83,8 +83,9 @@ def finetune_forward(
     if cfg.remat_encoder:
         fwd = jax.checkpoint(
             wavlm_forward,
-            # cfg, precision, activation_dtype, hidden_reducer, use_flash
-            static_argnums=(2, 4, 5, 7, 8),
+            # cfg, precision, activation_dtype, hidden_reducer, use_flash,
+            # f32_attention_softmax
+            static_argnums=(2, 4, 5, 7, 8, 9),
             policy=jax.checkpoint_policies.nothing_saveable,
         )
     # use_flash=False: the training path must stay differentiable — the
@@ -92,9 +93,13 @@ def finetune_forward(
     # VJP, so a >=10.5 s bucket under jax.grad would otherwise fail to
     # trace (caught by self-review; the einsum path is grad-safe and the
     # numerics are identical). Eval shares the flag so train==eval numerics.
+    # f32_attention_softmax=True: the extraction-tuned bf16 logits/bias/
+    # softmax shortcut (-6 ms/batch, validated on INFERENCE fidelity only)
+    # must not set gradient numerics — training keeps the f32 attention
+    # softmax it was measured/converged with (caught by round-2 code review).
     _, all_hidden, frame_lengths = fwd(
         params["backbone"], x, cfg.model, lengths,
-        cfg.precision, cfg.activation_dtype, sa_rng, None, False,
+        cfg.precision, cfg.activation_dtype, sa_rng, None, False, True,
     )
     w = jax.nn.softmax(params["layer_weights"])
     feats = jnp.einsum("s,sbld->bld", w, all_hidden.astype(jnp.float32))

@@ -168,6 +168,33 @@ def test_serve_cli_with_classifier(corpus, model_path, tmp_path, monkeypatch, ca
     assert abs(sum(out_lines[0]["probs"].values()) - 1.0) < 1e-6
 
 
+def test_label_encoded_backend_probs_align(tmp_path):
+    """The xgb stand-in's LabelEncoder round trip must expose classes_ so
+    probability columns map to ORIGINAL labels — non-contiguous label sets
+    (a class present only in eval) otherwise key probs by raw column index
+    and contradict the served prediction."""
+    from stutter_tpu.train.classifiers import make_classifier
+    from stutter_tpu.train.persistence import save_model
+
+    names = ["A", "B", "C", "D"]
+    rs = np.random.RandomState(3)
+    X = rs.randn(40, 8).astype(np.float32)
+    y = rs.choice([0, 1, 3], size=40)  # class 2 never trained
+    model = make_classifier("xgb", 8, 4).fit(X, y)
+    np.testing.assert_array_equal(np.asarray(model.classes_), [0, 1, 3])
+
+    path = save_model(model, str(tmp_path), "wavlm", "layer_2", "xgb",
+                      class_names=names)
+    clf = ServingClassifier.load(path)
+    labels, probs = clf.predict_rows(rs.randn(6, 8).astype(np.float32))
+    assert probs is not None
+    for lab, p in zip(labels, probs):
+        assert set(p) == {"A", "B", "D"}  # original labels, never 'C'
+        assert lab in p
+        # the served prediction is the argmax of its own probs dict
+        assert lab == max(p, key=p.get)
+
+
 def test_jax_head_served_predictions(corpus, extractor, tmp_path):
     """The JAX-native head (train/heads.py) serves through the same path."""
     from stutter_tpu.train.heads import HeadConfig, JaxClassifier

@@ -120,3 +120,13 @@ def test_http_unknown_path_is_404(frontend):
     except urllib.error.HTTPError as e:
         status = e.code
     assert status == 404
+
+
+def test_serve_cli_rejects_bad_http_address():
+    """--http without a numeric port fails fast (rc 2) BEFORE any model
+    build — a traceback after minutes of TPU compiles is not an error
+    message."""
+    from stutter_tpu.cli import serve as serve_cli
+
+    assert serve_cli.main(["--model_type", "wavlm", "--random_init",
+                           "--http", "localhost"]) == 2
