@@ -122,6 +122,34 @@ def test_http_unknown_path_is_404(frontend):
     assert status == 404
 
 
+def test_http_oversized_body_closes_connection(frontend):
+    """A 400 on an oversized body must CLOSE the keep-alive connection —
+    replying without consuming the body leaves it in the stream, and the
+    next request on the same socket would parse mid-body garbage."""
+    import http.client
+
+    conn = http.client.HTTPConnection(frontend.host, frontend.port, timeout=30)
+    try:
+        conn.putrequest("POST", "/embed")
+        conn.putheader("Content-Type", "application/octet-stream")
+        conn.putheader("Content-Length", str(200 * 1024 * 1024))  # > 64 MB cap
+        conn.endheaders()
+        conn.send(b"RIFFgarbage")  # only a fragment of the declared body
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
+        # server must have dropped the connection: reusing it fails instead
+        # of parsing the unread body bytes as a request line
+        with pytest.raises((http.client.HTTPException, ConnectionError, OSError)):
+            conn.putrequest("GET", "/healthz")
+            conn.endheaders()
+            r2 = conn.getresponse()
+            if r2.status:  # a parsed response here means desync, not reuse
+                raise AssertionError("connection was not closed after the 400")
+    finally:
+        conn.close()
+
+
 def test_serve_cli_rejects_bad_http_address():
     """--http without a numeric port fails fast (rc 2) BEFORE any model
     build — a traceback after minutes of TPU compiles is not an error
