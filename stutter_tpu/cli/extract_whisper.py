@@ -32,6 +32,11 @@ def parse_args(argv=None):
     parser.add_argument("--checkpoint_interval", type=int, default=50)
     parser.add_argument("--sample_rate", type=int, default=16000)
     parser.add_argument("--random_init", action="store_true")
+    parser.add_argument("--long_files", type=str, default="trim",
+                        choices=["trim", "chunk"],
+                        help="Files longer than 30 s: trim (the reference's "
+                             "processor pad/trim behavior) or chunk into 30 s "
+                             "windows combined by true-mel-frame weighting")
     parser.add_argument("--verify_model", action="store_true",
                         help="Dummy-forward model verification before extraction")
     add_mesh_args(parser)
@@ -72,7 +77,8 @@ def main(argv=None) -> int:
         batch_multiple=mesh.data_size if mesh else 1,
     )
     pipe = ExtractionPipeline(extractor, batcher=batcher,
-                              checkpoint_interval=args.checkpoint_interval)
+                              checkpoint_interval=args.checkpoint_interval,
+                              long_file_policy=args.long_files)
     splits = [args.split] if args.split != "all" else ["train", "test", "devel"]
     # whisper reference resumes unconditionally
     pipe.run(metadata, args.output_dir, splits=splits, resume=True)
