@@ -126,12 +126,13 @@ class EmbeddingServer:
 
     # -- one gathered round ------------------------------------------------
 
-    def _run_round(self, reqs: list[Request], emit: Callable[[Response], None],
-                   emitted: set[str]):
-        """Run one gathered round. Every emit is recorded in `emitted` so a
-        failure partway through (one bucket batch erroring) never re-answers
-        requests that already got a response; per-batch try/except means one
-        bad batch fails only its own requests."""
+    def _submit_round(self, reqs: list[Request]):
+        """Host half of a round: probe/split, decode, and dispatch the device
+        programs WITHOUT waiting for them. Returns the work handle consumed by
+        _finish_round — splitting submit from finish lets the serve loop
+        overlap round k's device compute with round k+1's gather + decode
+        (measured: the sequential loop capped at ~100 audio-s/s because the
+        single-core host decode serialized with the device)."""
         long_reqs: list[Request] = []
         durations: list[float | None] | None = None
         if self.long_clip_policy == "chunk":
@@ -165,6 +166,15 @@ class EmbeddingServer:
                 except Exception as e:  # noqa: BLE001
                     logger.exception("batch submit failed")
                     pending.append((chunk_reqs, None, e))
+        return pending, long_reqs
+
+    def _finish_round(self, work, emit: Callable[[Response], None],
+                      emitted: set[str]):
+        """Collect/classify/emit a submitted round. Every emit is recorded in
+        `emitted` so a failure partway through (one bucket batch erroring)
+        never re-answers requests that already got a response; per-batch
+        try/except means one bad batch fails only its own requests."""
+        pending, long_reqs = work
         for chunk_reqs, batch, handle in pending:
             try:
                 if batch is None:
@@ -227,8 +237,33 @@ class EmbeddingServer:
 
     # -- serving loop ------------------------------------------------------
 
+    def _finish_pending(self, pending) -> None:
+        """Finish a submitted round: collect, emit, guard double answers."""
+        work, gathered, tracked_emit, emitted, t0 = pending
+        try:
+            self._finish_round(work, tracked_emit, emitted)
+        except Exception as e:  # noqa: BLE001 — a bad round must not kill the server
+            logger.exception("serving round failed")
+            for r in gathered:
+                if r.req_id not in emitted:  # never double-answer a request
+                    tracked_emit(Response(r.req_id, r.path, False, None,
+                                          f"round failed: {e}"))
+        self._rounds += 1
+        logger.info(
+            "served %d clips in %.1f ms", len(gathered),
+            (time.monotonic() - t0) * 1e3,
+        )
+        if self._rounds % self.stats_every == 0:
+            logger.info("serving stats: %s", self.stats())
+
     def serve(self, requests: Iterable[Request], emit: Callable[[Response], None]):
-        """Serve until `requests` is exhausted; blocks the calling thread."""
+        """Serve until `requests` is exhausted; blocks the calling thread.
+
+        One round is kept in flight: round k's device programs execute while
+        round k+1 gathers and decodes on the host (the same overlap the
+        extraction pipeline gets from its prefetch thread). When the queue
+        goes idle, the in-flight round is finished immediately, so light
+        traffic never waits on a future round."""
         q: queue.Queue = queue.Queue()
 
         def reader():
@@ -242,8 +277,19 @@ class EmbeddingServer:
         t.start()
 
         done = False
+        in_flight = None  # (work, gathered, tracked_emit, emitted, t0)
         while not done:
-            first = q.get()
+            if in_flight is not None:
+                try:
+                    first = q.get_nowait()
+                except queue.Empty:
+                    # idle queue: answer the in-flight round now rather than
+                    # holding its responses hostage to future traffic
+                    self._finish_pending(in_flight)
+                    in_flight = None
+                    continue
+            else:
+                first = q.get()
             if first is _STOP:
                 break
             arrivals = {first.req_id: time.monotonic()}
@@ -275,20 +321,24 @@ class EmbeddingServer:
 
             emitted: set[str] = set()
             try:
-                self._run_round(gathered, tracked_emit, emitted)
-            except Exception as e:  # noqa: BLE001 — a bad round must not kill the server
-                logger.exception("serving round failed")
+                work = self._submit_round(gathered)
+            except Exception as e:  # noqa: BLE001
+                logger.exception("round submit failed")
                 for r in gathered:
-                    if r.req_id not in emitted:  # never double-answer a request
+                    if r.req_id not in emitted:
                         tracked_emit(Response(r.req_id, r.path, False, None,
                                               f"round failed: {e}"))
-            self._rounds += 1
-            logger.info(
-                "served %d clips in %.1f ms", len(gathered),
-                (time.monotonic() - t0) * 1e3,
-            )
-            if self._rounds % self.stats_every == 0:
-                logger.info("serving stats: %s", self.stats())
+                self._rounds += 1
+                work = None
+            # the new round's device work is queued; now drain the previous
+            # round (its device time overlapped our gather + decode)
+            if in_flight is not None:
+                self._finish_pending(in_flight)
+                in_flight = None
+            if work is not None:
+                in_flight = (work, gathered, tracked_emit, emitted, t0)
+        if in_flight is not None:
+            self._finish_pending(in_flight)
         t.join(timeout=1.0)
 
 
