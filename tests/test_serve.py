@@ -212,3 +212,38 @@ def test_server_latency_stats(corpus, extractor):
     s = server.stats()
     assert s["served"] == 4 and s["failed"] == 0 and s["rounds"] >= 1
     assert 0 < s["p50_s"] <= s["p95_s"] <= s["max_s"]
+
+
+def test_pipelined_round_drains_on_idle_queue(corpus, extractor):
+    """The one-round-in-flight pipeline must answer an in-flight round as
+    soon as the request queue idles — a lone request's response must never
+    wait for FUTURE traffic to arrive."""
+    import threading
+
+    server = EmbeddingServer(
+        extractor,
+        batcher=BucketBatcher(buckets_s=(2.0, 4.0), audio_budget_s=8.0, max_batch=4),
+        max_wait_s=0.01, max_clips=2,
+    )
+    responses = []
+    first_answered = threading.Event()
+
+    def emit(r):
+        responses.append(r)
+        first_answered.set()
+
+    def reqs():
+        yield Request("a", corpus[0])
+        # hold the stream open until 'a' is answered; if the serve loop kept
+        # round a hostage to the next gather, this wait would time out and
+        # the missing second request below fails the test loudly
+        if not first_answered.wait(timeout=120):
+            return
+        yield Request("b", corpus[1])
+
+    th = threading.Thread(target=lambda: server.serve(reqs(), emit), daemon=True)
+    th.start()
+    th.join(timeout=240)
+    assert not th.is_alive(), "serve loop did not terminate"
+    assert [r.req_id for r in responses] == ["a", "b"]
+    assert all(r.ok for r in responses)
