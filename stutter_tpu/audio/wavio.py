@@ -51,8 +51,10 @@ def _read_wav_numpy(path: str) -> tuple[np.ndarray, int]:
             data = body
             break
         pos += 8 + size + (size & 1)
-    if fmt_tag is None or data is None:
-        raise ValueError(f"missing fmt/data chunk: {path}")
+    if fmt_tag is None or data is None or len(data) == 0 or channels == 0:
+        # empty-data / zero-channel files are failures in the native parser
+        # too (rc=4) — keep the fallback's contract identical
+        raise ValueError(f"missing/empty fmt/data chunk: {path}")
 
     if fmt_tag == 1:
         if bits == 8:
