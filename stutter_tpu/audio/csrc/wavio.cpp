@@ -34,15 +34,36 @@ extern "C" {
 static int wavio_decode_impl(const char* path, float** out, int64_t* n_samples,
                              int32_t* sample_rate);
 
+// Optional fallback for non-RIFF inputs (FLAC/MP3/OGG/...): build.py registers
+// libffdecode's ffdecode_decode here when libav is available, which makes
+// every entry point (incl. the threaded batch decoder below) format-agnostic.
+// Must be thread-safe and allocate the output with plain malloc.
+typedef int (*wavio_fallback_fn)(const char*, float**, int64_t*, int32_t*);
+static std::atomic<wavio_fallback_fn> g_fallback{nullptr};
+
+void wavio_set_fallback_decoder(wavio_fallback_fn fn) { g_fallback.store(fn); }
+
 int wavio_decode(const char* path, float** out, int64_t* n_samples, int32_t* sample_rate) {
     // exceptions (bad_alloc on corrupt sizes, etc.) must not cross the C ABI
+    int rc;
     try {
-        return wavio_decode_impl(path, out, n_samples, sample_rate);
+        rc = wavio_decode_impl(path, out, n_samples, sample_rate);
     } catch (...) {
         *out = nullptr;
         *n_samples = 0;
-        return 9;
+        rc = 9;
     }
+    // rc==1 is open-failure (missing file) — the fallback cannot help there
+    wavio_fallback_fn fb = g_fallback.load();
+    if (rc > 1 && fb != nullptr) {
+        try {
+            rc = fb(path, out, n_samples, sample_rate);
+            if (rc != 0) rc += 20;  // distinguish fallback-stage failures
+        } catch (...) {
+            rc = 29;
+        }
+    }
+    return rc;
 }
 
 static int wavio_decode_impl(const char* path, float** out, int64_t* n_samples,

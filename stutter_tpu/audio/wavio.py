@@ -19,7 +19,7 @@ import struct
 
 import numpy as np
 
-from stutter_tpu.audio.build import get_lib
+from stutter_tpu.audio.build import get_ff_lib, get_lib
 from stutter_tpu.utils.logging import get_logger
 
 logger = get_logger("audio")
@@ -121,8 +121,34 @@ def wav_info(path: str) -> tuple[int, int]:
         return data_size // (channels * (bits // 8)), rate
 
 
+def audio_info(path: str) -> tuple[int, int]:
+    """Format-agnostic cheap probe: (n_mono_samples, sample_rate).
+
+    WAV via the RIFF header walk; compressed formats via libav stream info
+    (exact for FLAC STREAMINFO / MP3 Xing headers — no decode).
+    """
+    try:
+        return wav_info(path)
+    except ValueError:
+        ff = get_ff_lib()
+        if ff is None:
+            raise
+        n = ctypes.c_int64()
+        sr = ctypes.c_int32()
+        rc = ff.ffdecode_probe(path.encode(), ctypes.byref(n), ctypes.byref(sr))
+        if rc != 0:
+            raise ValueError(f"cannot probe audio file (rc={rc}): {path}")
+        return n.value, sr.value
+
+
 def read_wav(path: str) -> tuple[np.ndarray, int]:
-    """Decode a WAV file to (mono float32 samples, sample_rate)."""
+    """Decode an audio file to (mono float32 samples, sample_rate).
+
+    WAV decodes through the dependency-free native/numpy RIFF parser;
+    compressed formats (FLAC/MP3/OGG/M4A/...) decode through the libav-backed
+    extension when available — the same codec surface as the reference's
+    ``torchaudio.load`` (``WavLM_embeddings.py:101``).
+    """
     lib = get_lib()
     if lib is not None:
         out = ctypes.POINTER(ctypes.c_float)()
@@ -134,7 +160,54 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
             lib.wavio_free(out)
             return arr, sr.value
         logger.debug("native decode rc=%d for %s; falling back to numpy", rc, path)
-    return _read_wav_numpy(path)
+    try:
+        return _read_wav_numpy(path)
+    except ValueError:
+        # not RIFF: compressed-format path for the no-compiled-wavio case
+        # (when the native lib loaded, its registered fallback already ran)
+        if lib is None:
+            got = _ff_decode_py(path)
+            if got is not None:
+                return got
+        raise
+
+
+def _ff_decode_py(path: str) -> tuple[np.ndarray, int] | None:
+    """Decode via libffdecode directly (used when libwavio isn't built)."""
+    ff = get_ff_lib()
+    if ff is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_float)()
+    n = ctypes.c_int64()
+    sr = ctypes.c_int32()
+    rc = ff.ffdecode_decode(path.encode(), ctypes.byref(out), ctypes.byref(n), ctypes.byref(sr))
+    if rc != 0:
+        logger.debug("ffdecode rc=%d for %s", rc, path)
+        return None
+    arr = np.ctypeslib.as_array(out, shape=(n.value,)).copy()
+    ff.ffdecode_free(out)
+    return arr, sr.value
+
+
+def encode_audio(path: str, samples: np.ndarray, sample_rate: int) -> None:
+    """Encode float32 PCM to a compressed file; codec chosen by extension.
+
+    ``samples`` is [T] mono or [T, C] interleaved. Test/fixture helper (the
+    pipelines only read); raises RuntimeError when libav is unavailable.
+    """
+    ff = get_ff_lib()
+    if ff is None:
+        raise RuntimeError("compressed-audio encode requires the libav extension")
+    x = np.asarray(samples, np.float32)
+    if x.ndim == 1:
+        x = x[:, None]
+    x = np.ascontiguousarray(x)
+    rc = ff.ffdecode_encode(
+        path.encode(), x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        x.shape[0], sample_rate, x.shape[1],
+    )
+    if rc != 0:
+        raise RuntimeError(f"encode failed (rc={rc}) for {path}")
 
 
 def write_wav(path: str, samples: np.ndarray, sample_rate: int) -> None:

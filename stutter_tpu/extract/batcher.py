@@ -23,7 +23,7 @@ from typing import Iterator, Sequence
 
 import numpy as np
 
-from stutter_tpu.audio.wavio import decode_batch, wav_info
+from stutter_tpu.audio.wavio import audio_info, decode_batch
 from stutter_tpu.utils.logging import get_logger
 
 logger = get_logger("extract.batcher")
@@ -115,7 +115,7 @@ class BucketBatcher:
             dur = durations[i] if durations is not None else None
             if dur is None:
                 try:
-                    n, sr = wav_info(p)
+                    n, sr = audio_info(p)
                     dur = n / sr
                 except Exception as e:  # noqa: BLE001
                     logger.error("cannot probe %s (%s); assigning top bucket", p, e)

@@ -413,12 +413,12 @@ class ExtractionPipeline:
 
         long_rows: list[int] = []
         if self.long_file_policy == "chunk":
-            from stutter_tpu.audio.wavio import wav_info
+            from stutter_tpu.audio.wavio import audio_info
 
             top_s = self.batcher.buckets_s[-1]
             for i, p in enumerate(todo["path"]):
                 try:
-                    n, sr = wav_info(p)
+                    n, sr = audio_info(p)
                     if n / sr > top_s:
                         long_rows.append(i)
                 except Exception:  # noqa: BLE001 — normal path reports it

@@ -5,6 +5,8 @@ Behavior parity with reference ``create_metadata_from_files``
 (``whisper_embeddings_large.py:98-198``):
 
 - ``{data_dir}/wav/**.wav`` holds clips; ``{data_dir}/lab/*.csv`` holds labels
+  (compressed formats — flac/mp3/ogg/m4a — are also picked up, matching the
+  loader's torchaudio-equivalent codec surface; label ids join by stem)
 - a label CSV's split comes from 'train'/'test'/'devel' in its filename
 - id column = first column (``.wav`` appended if missing); label column = the
   first column containing 'label' (case-insensitive), else the second column
@@ -23,6 +25,10 @@ from stutter_tpu.utils.logging import get_logger
 logger = get_logger("extract.scanner")
 
 _SPLITS = ("train", "test", "devel")
+
+# formats the loader decodes: native RIFF parser (.wav) + libav extension
+# (everything else; see audio/wavio.py:read_wav)
+_AUDIO_EXTS = (".wav", ".flac", ".mp3", ".ogg", ".opus", ".m4a")
 
 
 def _split_from_name(name: str) -> str:
@@ -53,10 +59,14 @@ def _load_label_mapping(lab_dir: str, split: str) -> dict[str, dict]:
         if label_col is None:
             continue
         for _, row in df.iterrows():
+            # key by stem: CSV ids appear both bare and with .wav (reference
+            # appends .wav when missing), and clips may be .flac/.mp3/...
+            # Only strip a KNOWN audio extension — ids may contain dots.
             file_id = str(row[id_col])
-            if not file_id.endswith(".wav"):
-                file_id = f"{file_id}.wav"
-            mapping[file_id] = {"label": row[label_col], "split": current_split}
+            stem, ext = os.path.splitext(file_id)
+            if ext.lower() not in _AUDIO_EXTS:
+                stem = file_id
+            mapping[stem] = {"label": row[label_col], "split": current_split}
         logger.info("added %d label mappings from %s", len(df), csv_file)
     return mapping
 
@@ -74,11 +84,12 @@ def create_metadata_from_files(data_dir: str, split: str = "all") -> pd.DataFram
     rows = []
     for root, _dirs, files in os.walk(wav_dir):
         for file in sorted(files):
-            if not file.endswith(".wav"):
+            stem, ext = os.path.splitext(file)
+            if ext.lower() not in _AUDIO_EXTS:
                 continue
-            entry: dict = {"filename": os.path.splitext(file)[0], "path": os.path.join(root, file)}
-            if file in label_mapping:
-                entry.update(label_mapping[file])
+            entry: dict = {"filename": stem, "path": os.path.join(root, file)}
+            if stem in label_mapping:
+                entry.update(label_mapping[stem])
             else:
                 entry["split"] = _split_from_name(file)
             if split != "all" and entry.get("split", "unknown") != split:

@@ -136,14 +136,14 @@ class EmbeddingServer:
         long_reqs: list[Request] = []
         durations: list[float | None] | None = None
         if self.long_clip_policy == "chunk":
-            from stutter_tpu.audio.wavio import wav_info
+            from stutter_tpu.audio.wavio import audio_info
 
             top_s = self.batcher.buckets_s[-1]
             short: list[Request] = []
             durations = []
             for r in reqs:
                 try:
-                    n, sr = wav_info(r.path)
+                    n, sr = audio_info(r.path)
                     dur = n / sr
                 except Exception:  # noqa: BLE001 — normal path reports decode errors
                     dur = None

@@ -74,6 +74,22 @@ def test_http_embed_raw_wav_bytes(frontend, corpus):
     assert obj["embeddings"]
 
 
+def test_http_embed_raw_flac_bytes(frontend, corpus, tmp_path):
+    """Compressed raw bytes decode by content sniffing (suffix is irrelevant)."""
+    from stutter_tpu.audio.build import get_ff_lib
+    from stutter_tpu.audio.wavio import encode_audio, read_wav
+
+    if get_ff_lib() is None:
+        pytest.skip("libav extension unavailable on this host")
+    x, sr = read_wav(corpus[2])
+    flac = str(tmp_path / "clip.flac")
+    encode_audio(flac, x, sr)
+    with open(flac, "rb") as f:
+        status, obj = _post(frontend, f.read(), "audio/flac")
+    assert status == 200 and obj["ok"]
+    assert obj["embeddings"]
+
+
 def test_http_concurrent_requests_all_answered(frontend, corpus):
     results = {}
 
