@@ -10,6 +10,12 @@ Behavior parity with reference ``create_metadata_from_files``
 - a label CSV's split comes from 'train'/'test'/'devel' in its filename
 - id column = first column (``.wav`` appended if missing); label column = the
   first column containing 'label' (case-insensitive), else the second column
+- ALL label-CSV columns ride along into the metadata (the whisper reference
+  keeps ``row.to_dict()`` — ``whisper_embeddings_large.py:155-157`` — and
+  ``save_embeddings`` writes every non-layer column to the metadata CSV)
+- clips named ``{split}_{id}`` join a CSV row whose id lacks the prefix
+  (the reference's alt-filename fallback, ``whisper_embeddings_large.py:
+  144-150``, mirrored from the walk direction)
 - files without a CSV mapping fall back to split-by-filename-substring
 - ``split != 'all'`` filters rows
 """
@@ -38,11 +44,21 @@ def _split_from_name(name: str) -> str:
     return "unknown"
 
 
-def _load_label_mapping(lab_dir: str, split: str) -> dict[str, dict]:
+def _load_label_mapping(
+    lab_dir: str, split: str
+) -> tuple[dict[str, dict], dict[tuple[str, str], dict]]:
+    """Returns (by_stem, by_split_stem).
+
+    by_stem is last-CSV-wins (the reference's dict-overwrite behavior);
+    by_split_stem keys (csv_split, stem) so the ``{split}_{id}`` prefix
+    fallback can't cross-join splits that reuse bare ids (ComParE-style
+    corpora number train/test/devel clips independently).
+    """
     mapping: dict[str, dict] = {}
+    by_split: dict[tuple[str, str], dict] = {}
     if not os.path.isdir(lab_dir):
         logger.warning("label directory not found: %s", lab_dir)
-        return mapping
+        return mapping, by_split
     for csv_file in sorted(f for f in os.listdir(lab_dir) if f.endswith(".csv")):
         try:
             df = pd.read_csv(os.path.join(lab_dir, csv_file))
@@ -66,9 +82,16 @@ def _load_label_mapping(lab_dir: str, split: str) -> dict[str, dict]:
             stem, ext = os.path.splitext(file_id)
             if ext.lower() not in _AUDIO_EXTS:
                 stem = file_id
-            mapping[stem] = {"label": row[label_col], "split": current_split}
+            # every CSV column rides along (reference whisper variant keeps
+            # row.to_dict()); 'label'/'split' are set last so the detected
+            # label column wins over any literal 'split' column
+            entry = dict(row.to_dict())
+            entry["label"] = row[label_col]
+            entry["split"] = current_split
+            mapping[stem] = entry
+            by_split[(current_split, stem)] = entry
         logger.info("added %d label mappings from %s", len(df), csv_file)
-    return mapping
+    return mapping, by_split
 
 
 def create_metadata_from_files(data_dir: str, split: str = "all") -> pd.DataFrame:
@@ -79,7 +102,7 @@ def create_metadata_from_files(data_dir: str, split: str = "all") -> pd.DataFram
         logger.error("WAV directory not found: %s", wav_dir)
         return pd.DataFrame()
 
-    label_mapping = _load_label_mapping(lab_dir, split)
+    label_mapping, labels_by_split = _load_label_mapping(lab_dir, split)
 
     rows = []
     for root, _dirs, files in os.walk(wav_dir):
@@ -87,10 +110,21 @@ def create_metadata_from_files(data_dir: str, split: str = "all") -> pd.DataFram
             stem, ext = os.path.splitext(file)
             if ext.lower() not in _AUDIO_EXTS:
                 continue
-            entry: dict = {"filename": stem, "path": os.path.join(root, file)}
-            if stem in label_mapping:
-                entry.update(label_mapping[stem])
-            else:
+            mapped = label_mapping.get(stem)
+            if mapped is None:
+                # reference alt-filename fallback: CSV id '0001' labels clip
+                # 'devel_0001.wav' (whisper_embeddings_large.py:144-150);
+                # split-qualified so reused bare ids can't cross-join
+                for s in _SPLITS:
+                    if stem.startswith(f"{s}_"):
+                        mapped = labels_by_split.get((s, stem[len(s) + 1:]))
+                        break
+            entry: dict = dict(mapped) if mapped is not None else {}
+            # computed values win over CSV columns of the same name (the
+            # reference overwrites row_dict['path'/'filename'] the same way)
+            entry["filename"] = stem
+            entry["path"] = os.path.join(root, file)
+            if mapped is None:
                 entry["split"] = _split_from_name(file)
             if split != "all" and entry.get("split", "unknown") != split:
                 continue

@@ -236,3 +236,55 @@ def test_i16_transfer_matches_f32_program(tiny_wavlm, rng):
         a, b = out_i16[k].astype(np.float64), out_f32[k].astype(np.float64)
         denom = np.maximum(np.abs(b).max(), 1e-9)
         assert np.abs(a - b).max() / denom < 2e-3, k
+
+
+def _tiny_clip(path, n=8000, seed=0):
+    from stutter_tpu.audio.wavio import write_wav
+
+    rs = np.random.RandomState(seed)
+    write_wav(path, (rs.randn(n) * 0.05).astype(np.float32), 16000)
+
+
+def test_scanner_split_prefix_fallback(tmp_path):
+    """Reference alt-filename join (whisper_embeddings_large.py:144-150):
+    a CSV id 'c1' labels the clip 'devel_c1.wav'. Reused bare ids across
+    splits must each join their own CSV's row, never cross splits."""
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "wav"))
+    os.makedirs(os.path.join(root, "lab"))
+    for name in ("train_c1.wav", "devel_c1.wav"):
+        _tiny_clip(os.path.join(root, "wav", name))
+    pd.DataFrame({"id": ["c1"], "label": ["block"]}).to_csv(
+        os.path.join(root, "lab", "train.csv"), index=False)
+    pd.DataFrame({"id": ["c1"], "label": ["prolongation"]}).to_csv(
+        os.path.join(root, "lab", "devel.csv"), index=False)
+
+    meta = create_metadata_from_files(root, split="all").set_index("filename")
+    assert meta.loc["train_c1", "label"] == "block"
+    assert meta.loc["train_c1", "split"] == "train"
+    assert meta.loc["devel_c1", "label"] == "prolongation"
+    assert meta.loc["devel_c1", "split"] == "devel"
+
+
+def test_scanner_extra_csv_columns_ride_along(tmp_path):
+    """All label-CSV columns reach the metadata (the whisper reference keeps
+    row.to_dict(), whisper_embeddings_large.py:155-157), with computed
+    filename/path winning over same-named CSV columns."""
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "wav"))
+    os.makedirs(os.path.join(root, "lab"))
+    _tiny_clip(os.path.join(root, "wav", "clip_a.wav"))
+    pd.DataFrame({
+        "filename": ["clip_a.wav"],
+        "label": ["repetition"],
+        "severity": [3],
+        "annotator": ["x9"],
+    }).to_csv(os.path.join(root, "lab", "train.csv"), index=False)
+
+    meta = create_metadata_from_files(root, split="all")
+    row = meta.iloc[0]
+    assert row["label"] == "repetition"
+    assert row["severity"] == 3 and row["annotator"] == "x9"
+    # computed values, not the CSV's literal filename string
+    assert row["filename"] == "clip_a"
+    assert row["path"].endswith(os.path.join("wav", "clip_a.wav"))
