@@ -149,12 +149,16 @@ def _extract_corpus(args, metadata: pd.DataFrame, out_root: str, logger) -> bool
         if extractor is None:
             logger.error("unsupported model_type %s", part_type)
             return False
+        from stutter_tpu.extract.batcher import DEFAULT_BUCKETS_S
+
         batcher = BucketBatcher(
+            buckets_s=getattr(extractor, "preferred_buckets", None)
+            or DEFAULT_BUCKETS_S,
             audio_budget_s=args.audio_budget,
             max_batch=args.batch_size,
             batch_multiple=mesh.data_size if mesh else 1,
             max_length_s=args.max_length,
-            frame_align=extractor.frame_align,
+            frame_align=getattr(extractor, "frame_align", None),
         )
         pipe = ExtractionPipeline(extractor, batcher=batcher,
                                   long_file_policy=args.long_files)

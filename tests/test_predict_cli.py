@@ -120,3 +120,38 @@ def test_predict_layer_mismatch_is_clear(tmp_path):
         "--output", str(tmp_path / "pred.csv"),
     ])
     assert rc == 1
+
+
+def test_predict_combined_from_audio(tmp_path, monkeypatch):
+    """'combined' extracts both backbones into the fusion layout and
+    classifies fusion-store columns (combined_top)."""
+    from stutter_tpu.models import WavLMConfig, WhisperConfig
+
+    monkeypatch.setattr(
+        WavLMConfig, "base", staticmethod(lambda: WavLMConfig.tiny(32, 2, 4))
+    )
+    monkeypatch.setattr(
+        WhisperConfig, "base",
+        staticmethod(lambda: WhisperConfig.tiny(d_model=32, layers=2, heads=4)),
+    )
+    from stutter_tpu.cli.predict import main
+
+    root = str(tmp_path / "corpus")
+    make_synthetic_corpus(root, n_per_split={"train": 3}, seed=7)
+
+    # combined_top = wavlm top (32) ++ whisper encoder top (32)
+    model_path = _make_artifact(str(tmp_path / "clf"), "combined_top", 64)
+    out_csv = str(tmp_path / "pred.csv")
+    rc = main([
+        "--audio_dir", os.path.join(root, "wav"),
+        "--classifier_model", model_path,
+        "--model_type", "combined",
+        "--model_name", "microsoft/wavlm-base",
+        "--whisper_model_name", "openai/whisper-base",
+        "--random_init", "--output", out_csv,
+        "--audio_budget", "16",
+    ])
+    assert rc == 0
+    out = pd.read_csv(out_csv)
+    assert len(out) == 3
+    assert set(out["predicted_label"]) <= set(CLASS_NAMES)
