@@ -161,3 +161,20 @@ def test_scanner_picks_up_compressed(tmp_path):
     assert by_name.loc["train_0001", "label"] == "block"
     assert by_name.loc["train_0002", "label"] == "repetition"
     assert by_name.loc["test_0001", "split"] == "test"
+
+
+def test_corrupt_compressed_returns_none(tmp_path):
+    """Garbage behind a FLAC magic must fail cleanly through the fallback
+    decoder (per-file skip contract), never crash the process."""
+    from stutter_tpu.audio.wavio import load_audio
+
+    p = str(tmp_path / "junk.flac")
+    with open(p, "wb") as f:
+        f.write(b"fLaC" + bytes(range(256)) * 8)
+    assert load_audio(p) is None
+
+    # and a bare-garbage non-RIFF file with a compressed extension
+    p2 = str(tmp_path / "junk2.mp3")
+    with open(p2, "wb") as f:
+        f.write(b"\x13\x37" * 400)
+    assert load_audio(p2) is None
