@@ -69,6 +69,11 @@ def parse_args(argv=None):
                              "artifact); responses then carry the predicted "
                              "stutter-class label + probabilities computed "
                              "from the layer the model was trained on")
+    parser.add_argument("--warmup", action="store_true",
+                        help="AOT-compile every bucket program before taking "
+                             "traffic, so no request ever pays a first-of-"
+                             "bucket XLA compile (compiles also land in the "
+                             "persistent cache for future starts)")
     parser.add_argument("--random_init", action="store_true")
     add_mesh_args(parser)
     return parser.parse_args(argv)
@@ -143,6 +148,10 @@ def main(argv=None) -> int:
         long_clip_policy=args.long_clip_policy,
         classifier=classifier,
     )
+    if args.warmup:
+        n = extractor.warmup(server.batcher)
+        logger.info("warmup: %d bucket programs compiled; serving cold-start "
+                    "latency is now steady-state", n)
 
     if args.http:
         from stutter_tpu.serve import HttpEmbeddingFrontend

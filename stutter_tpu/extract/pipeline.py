@@ -118,6 +118,37 @@ def encode_waves_i16(waves) -> tuple[np.ndarray, np.ndarray]:
     return q, scale
 
 
+def _warmup_bucket_programs(extractor, batcher, arg_shapes) -> int:
+    """AOT-compile one device program per bucket, no audio involved.
+
+    ``jax.jit(...).lower(shapes).compile()`` builds exactly the executable a
+    real batch of that bucket's shape would trigger; with the persistent
+    compile cache enabled (cli/common.enable_compilation_cache) the result
+    lands on disk, so production starts and first-of-bucket serving requests
+    never pay the 60-90 s remote compile at request time. ``arg_shapes(B, n)``
+    returns the extractor's post-transfer argument (shape, dtype) list.
+    Returns the number of bucket programs compiled."""
+    import jax
+
+    mesh = getattr(extractor, "mesh", None)
+    count = 0
+    for bucket_s in batcher.buckets_s:
+        B = batcher.batch_size_for(bucket_s)
+        n = batcher.bucket_samples(bucket_s)
+        structs = [
+            jax.ShapeDtypeStruct(
+                shape, dtype,
+                sharding=mesh.batch_sharding(len(shape)) if mesh else None)
+            for shape, dtype in arg_shapes(B, n)
+        ]
+        t0 = time.perf_counter()
+        extractor._fn.lower(extractor.params, *structs).compile()
+        logger.info("warmup: bucket %.1fs [B=%d, n=%d] compiled in %.1fs",
+                    bucket_s, B, n, time.perf_counter() - t0)
+        count += 1
+    return count
+
+
 def decode_waves_i16(waves, scale):
     """Device-side inverse of encode_waves_i16 (no-op for f32 transfers)."""
     if waves.dtype == jnp.int16:
@@ -182,6 +213,15 @@ class WavLMExtractor:
             )
 
         self._fn = jax.jit(fn)
+
+    def warmup(self, batcher) -> int:
+        """AOT-compile every bucket program (``jit(...).lower().compile()``)
+        without decoding any audio; see ``_warmup_bucket_programs``."""
+        return _warmup_bucket_programs(
+            self, batcher,
+            lambda B, n: [((B, n), jnp.int16 if self._transfer_i16 else jnp.float32),
+                          ((B,), jnp.float32), ((B,), jnp.int32)],
+        )
 
     def submit(self, batch: Batch):
         """Dispatch the device program WITHOUT a host sync (JAX async
@@ -276,6 +316,14 @@ class WhisperExtractor:
             return enc_pooled, dec_sel.astype(jnp.float32)
 
         self._fn = jax.jit(fn)
+
+    def warmup(self, batcher) -> int:
+        """AOT-compile every bucket program without decoding any audio."""
+        return _warmup_bucket_programs(
+            self, batcher,
+            lambda B, n: [((B, n), jnp.int16 if self._transfer_i16 else jnp.float32),
+                          ((B,), jnp.float32)],
+        )
 
     def submit(self, batch: Batch):
         """Dispatch the device program without a host sync (async handle)."""

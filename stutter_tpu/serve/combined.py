@@ -46,6 +46,10 @@ class CombinedExtractor:
             f"{name}_{combined_top_key(part.column_names)}" for name, part in self.parts
         )
 
+    def warmup(self, batcher) -> int:
+        """AOT-compile both parts' bucket programs (see extract/pipeline.py)."""
+        return sum(part.warmup(batcher) for _, part in self.parts)
+
     def submit(self, batch):
         # dispatch both programs before collecting either: device queues run
         # wavlm's batch while whisper's host-side dispatch happens
