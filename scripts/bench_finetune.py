@@ -30,6 +30,12 @@ def main():
                     help="keep encoder activations for the backward pass "
                          "instead of recomputing (trades HBM for the remat "
                          "forward)")
+    ap.add_argument("--batch", type=int, default=16,
+                    help="per-step batch (16 = the unfrozen remote-compile "
+                         "ceiling; frozen probes compile far larger)")
+    ap.add_argument("--freeze_backbone", action="store_true",
+                    help="SUPERB-style frozen probe: stop_gradient prunes "
+                         "the backbone backward from the step program")
     args = ap.parse_args()
 
     from stutter_tpu.cli.common import enable_compilation_cache
@@ -42,11 +48,12 @@ def main():
 
     model_cfg = WavLMConfig.large()
     cfg = FinetuneConfig(model=model_cfg, n_classes=8,
-                         remat_encoder=not args.no_remat)
+                         remat_encoder=not args.no_remat,
+                         freeze_backbone=args.freeze_backbone)
     K = max(1, args.grad_accum)
     trainer = FinetuneTrainer(cfg, grad_accum=K)
 
-    batch, clip_s, sr = 16, 3.0, 16000
+    batch, clip_s, sr = args.batch, 3.0, 16000
     n = int(clip_s * sr)
     rs = np.random.RandomState(0)
     waves = (rs.randn(batch, n) * 0.1).astype(np.float32)
@@ -78,14 +85,18 @@ def main():
 
     enc_flops, stem_flops, _ = wavlm_flops(model_cfg, batch, n)
     fwd = (enc_flops + stem_flops) * K
+    # frozen probe: backbone backward is pruned (stop_gradient), so the model
+    # FLOPs are ~one forward, not fwd+bwd
+    bwd_factor = 1 if args.freeze_backbone else 3
     out = {
         "metric": "wavlm_large_finetune_step_throughput",
         "batch": batch,
         "grad_accum": K,
+        "freeze_backbone": args.freeze_backbone,
         "effective_batch": batch * K,
         "step_ms": round(t * 1e3, 2),
         "audio_s_per_s": round(K * batch * clip_s / t, 1),
-        "mfu_lower_bound": round(3 * fwd / t / V5E_BF16_PEAK, 3),
+        "mfu_lower_bound": round(bwd_factor * fwd / t / V5E_BF16_PEAK, 3),
         "loss": float(m["loss"]),
     }
     print(json.dumps(out))

@@ -101,6 +101,13 @@ def finetune_forward(
         params["backbone"], x, cfg.model, lengths,
         cfg.precision, cfg.activation_dtype, sa_rng, None, False, True,
     )
+    if cfg.freeze_backbone:
+        # Structural freeze: the optimizer's set_to_zero() alone still makes
+        # value_and_grad BUILD the full encoder backward only to discard it.
+        # stop_gradient makes the backbone grads structurally zero, so XLA
+        # prunes the backbone backward from the step program — the SUPERB-
+        # style probe then costs ~forward + head backward, not fwd+bwd.
+        all_hidden = jax.lax.stop_gradient(all_hidden)
     w = jax.nn.softmax(params["layer_weights"])
     feats = jnp.einsum("s,sbld->bld", w, all_hidden.astype(jnp.float32))
     pooled = masked_mean_pool(feats, frame_lengths)

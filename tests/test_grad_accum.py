@@ -109,3 +109,41 @@ def test_grad_accum_rejects_oversized_group(rng):
     mbs = [_batch(rng, 4)] * 3
     with pytest.raises(AssertionError):
         t.step_accum(mbs, np.ones((3,), np.float32))
+
+
+def test_frozen_backbone_prunes_backbone_grads(rng):
+    """freeze_backbone stops gradients structurally (train/finetune.py):
+    backbone grads are exactly zero, while head/layer-weight grads equal the
+    unfrozen step's (the freeze must not change forward numerics)."""
+    import jax.numpy as jnp
+
+    from stutter_tpu.train.finetune import finetune_forward
+    from stutter_tpu.train.heads import weighted_softmax_xent
+
+    cw = np.ones((3,), np.float32)
+    waves, lengths, labels, valid = _batch(rng, 4)
+    cfg_frozen = dataclasses.replace(_cfg(), freeze_backbone=True)
+    cfg_open = _cfg()
+    params = FinetuneTrainer(cfg_open).params
+
+    def loss_for(cfg):
+        def loss_fn(p):
+            logits = finetune_forward(p, jnp.asarray(waves), jnp.asarray(lengths),
+                                      cfg, train=True, rng=jax.random.key(0))
+            return weighted_softmax_xent(logits, jnp.asarray(labels),
+                                         jnp.asarray(cw), valid=jnp.asarray(valid))
+        return jax.jit(jax.value_and_grad(loss_fn))
+
+    loss_f, g_f = loss_for(cfg_frozen)(params)
+    loss_o, g_o = loss_for(cfg_open)(params)
+
+    np.testing.assert_allclose(float(loss_f), float(loss_o), atol=1e-6)
+    # backbone grads: exactly zero under the structural freeze
+    for leaf in jax.tree.leaves(g_f["backbone"]):
+        assert float(np.abs(np.asarray(leaf)).max()) == 0.0
+    # head + layer-weight grads identical (hidden states are the same values)
+    _tree_allclose(g_f["head"], g_o["head"], atol=1e-6)
+    _tree_allclose(g_f["layer_weights"], g_o["layer_weights"], atol=1e-6)
+    # and the open step's backbone grads are NOT all zero (the freeze is real)
+    assert any(float(np.abs(np.asarray(l)).max()) > 0
+               for l in jax.tree.leaves(g_o["backbone"]))
