@@ -118,8 +118,17 @@ def get_ff_lib() -> ctypes.CDLL | None:
         if _ff_lib is not None or _ff_tried:
             return _ff_lib
         _ff_tried = True
-        if not os.path.exists("/usr/include/x86_64-linux-gnu/libavformat/avformat.h") \
-                and not os.path.exists("/usr/include/libavformat/avformat.h"):
+        # Header probe across common layouts: Debian/Ubuntu multiarch (any
+        # architecture, not just x86_64), plain /usr/include, /usr/local.
+        import glob as _glob
+
+        if not any(
+            _glob.glob(pat) for pat in (
+                "/usr/include/*/libavformat/avformat.h",
+                "/usr/include/libavformat/avformat.h",
+                "/usr/local/include/libavformat/avformat.h",
+            )
+        ):
             logger.info("libav headers not found; compressed-audio decode disabled")
             return None
         if not os.path.exists(_FF_SO) or os.path.getmtime(_FF_SO) < os.path.getmtime(_FF_CSRC):

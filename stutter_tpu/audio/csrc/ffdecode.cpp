@@ -54,6 +54,27 @@ int frame_channels(const AVFrame* f) {
 #endif
 }
 
+// Channel setup across the ffmpeg 5.1 AVChannelLayout API break — same
+// version gate as frame_channels so the extension still compiles against
+// ffmpeg 4.x dev packages (e.g. Ubuntu 22.04).
+void ctx_set_channels(AVCodecContext* ctx, int channels) {
+#if LIBAVUTIL_VERSION_INT >= AV_VERSION_INT(57, 24, 100)
+    av_channel_layout_default(&ctx->ch_layout, channels);
+#else
+    ctx->channels = channels;
+    ctx->channel_layout = av_get_default_channel_layout(channels);
+#endif
+}
+
+void frame_copy_channels(AVFrame* frame, const AVCodecContext* ctx) {
+#if LIBAVUTIL_VERSION_INT >= AV_VERSION_INT(57, 24, 100)
+    av_channel_layout_copy(&frame->ch_layout, &ctx->ch_layout);
+#else
+    frame->channels = ctx->channels;
+    frame->channel_layout = ctx->channel_layout;
+#endif
+}
+
 // Append one decoded frame to `mono` as the mean over channels.
 // Returns false on an unsupported sample format.
 bool append_frame_mono(std::vector<float>& mono, const AVFrame* f) {
@@ -310,7 +331,7 @@ int ffdecode_encode(const char* path, const float* pcm, int64_t n_frames,
         if (!st || !ctx) { rc = 4; break; }
 
         ctx->sample_rate = sample_rate;
-        av_channel_layout_default(&ctx->ch_layout, channels);
+        ctx_set_channels(ctx, channels);
         ctx->sample_fmt = enc->sample_fmts ? enc->sample_fmts[0] : AV_SAMPLE_FMT_S16;
         // FLAC: force s16 so the round trip is exactly the int16 lattice
         if (want == AV_CODEC_ID_FLAC) ctx->sample_fmt = AV_SAMPLE_FMT_S16;
@@ -341,7 +362,7 @@ int ffdecode_encode(const char* path, const float* pcm, int64_t n_frames,
             frame->nb_samples = n;
             frame->format = ctx->sample_fmt;
             frame->sample_rate = sample_rate;
-            av_channel_layout_copy(&frame->ch_layout, &ctx->ch_layout);
+            frame_copy_channels(frame, ctx);
             if (av_frame_get_buffer(frame, 0) < 0) { rc = 7; break; }
             if (!fill_frame(frame, pcm, pos, n, channels)) { rc = 8; break; }
             frame->pts = pos;

@@ -118,6 +118,12 @@ def wav_info(path: str) -> tuple[int, int]:
                 f.seek(size + (size & 1), 1)
         if channels is None or data_size is None or bits in (None, 0):
             raise ValueError(f"missing fmt/data chunk: {path}")
+        if channels == 0 or bits < 8:
+            # e.g. 4-bit ADPCM: sample count isn't derivable from the header
+            # walk — raise ValueError so audio_info falls through to the
+            # libav probe (which CAN size such files), not ZeroDivisionError.
+            raise ValueError(f"unsupported fmt (channels={channels}, "
+                             f"bits={bits}): {path}")
         return data_size // (channels * (bits // 8)), rate
 
 

@@ -57,16 +57,8 @@ def add_mesh_args(parser: argparse.ArgumentParser) -> None:
                              "(device selection is mesh-based on TPU)")
 
 
-def enable_compilation_cache(cache_dir: str = "/tmp/stutter_tpu_jaxcache") -> None:
-    """Persistent XLA compile cache: each bucket shape compiles once per
-    machine instead of once per process (remote/TPU compiles are ~60-90 s)."""
-    import jax
-
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception as e:  # noqa: BLE001
-        logger.warning("could not enable compilation cache: %s", e)
+from stutter_tpu.utils.jaxcache import enable_compilation_cache  # noqa: E402,F401
+# (re-export: implementation moved to utils so library code can call it too)
 
 
 def build_mesh(args):
@@ -85,6 +77,36 @@ def build_mesh(args):
     if n == 1:
         return None
     return make_mesh(devices[:n], data=n // tp, model=tp)
+
+
+def default_model_name(model_type: str, model_name: str | None) -> str:
+    """Resolve the per-backbone default checkpoint (shared by serve/predict)."""
+    if model_name:
+        return model_name
+    return ("microsoft/wavlm-large"
+            if "wavlm" in model_type or model_type == "combined"
+            else "openai/whisper-large")
+
+
+def make_bucket_batcher(extractor, mesh, *, buckets_s=None, audio_budget_s,
+                        max_batch, max_length_s=None):
+    """BucketBatcher honoring the extractor's preferences — one construction
+    shared by serve/predict (the pipeline CLIs go through ExtractionPipeline,
+    which applies the same rules): the extractor's ``preferred_buckets`` win
+    unless the caller names buckets (whisper pads to 30 s on device, so
+    multi-second default buckets would compile identical-work programs), and
+    ``frame_align`` snaps bucket lengths to MXU-friendly frame counts."""
+    from stutter_tpu.extract.batcher import DEFAULT_BUCKETS_S, BucketBatcher
+
+    return BucketBatcher(
+        buckets_s=buckets_s
+        or getattr(extractor, "preferred_buckets", None) or DEFAULT_BUCKETS_S,
+        audio_budget_s=audio_budget_s,
+        max_batch=max_batch,
+        batch_multiple=mesh.data_size if mesh else 1,
+        max_length_s=max_length_s,
+        frame_align=getattr(extractor, "frame_align", None),
+    )
 
 
 def load_wavlm_model(model_name: str, random_init: bool):

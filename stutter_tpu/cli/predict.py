@@ -97,28 +97,34 @@ def _scan_audio_dir(audio_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def _present_splits(model_dir: str) -> tuple[str, ...]:
-    """Split subdirs of a store that actually hold a metadata CSV."""
+def _present_splits(model_dir: str, restrict=None) -> tuple[str, ...]:
+    """Split subdirs of a store that actually hold a metadata CSV.
+
+    ``restrict`` limits the scan to the named splits — used when this run
+    just extracted the corpus, so a reused ``--keep_embeddings_dir`` holding
+    stale split dirs from an earlier corpus can't contaminate the output.
+    """
+    names = _SPLIT_DIRS if restrict is None else tuple(restrict)
     return tuple(
-        s for s in _SPLIT_DIRS
+        s for s in names
         if os.path.exists(os.path.join(model_dir, s, "embedding_metadata.csv"))
     )
 
 
-def _load_store(embeddings_dir: str, model_type: str, logger):
+def _load_store(embeddings_dir: str, model_type: str, logger, restrict=None):
     """(metadata, {layer: X}) from an existing store, any subset of splits."""
     from stutter_tpu.extract.store import load_embeddings, load_embeddings_combined
 
     if model_type == "combined":
         part_dir = os.path.join(embeddings_dir, "wavlm")
-        splits = _present_splits(part_dir)
+        splits = _present_splits(part_dir, restrict)
         if not splits:
             logger.error("combined store: no splits under %s", part_dir)
             return None, {}
         return load_embeddings_combined(embeddings_dir, splits=splits)
     candidate = os.path.join(embeddings_dir, model_type)
     model_dir = candidate if os.path.isdir(candidate) else embeddings_dir
-    splits = _present_splits(model_dir)
+    splits = _present_splits(model_dir, restrict)
     if not splits:
         logger.error("no split directories with metadata under %s", model_dir)
         return None, {}
@@ -128,18 +134,15 @@ def _load_store(embeddings_dir: str, model_type: str, logger):
 def _extract_corpus(args, metadata: pd.DataFrame, out_root: str, logger) -> bool:
     """Run the extraction pipeline(s) into out_root (fusion layout for
     'combined': one subdir per part, exactly what the train CLI reads)."""
+    from stutter_tpu.cli.common import default_model_name, make_bucket_batcher
     from stutter_tpu.cli.train import build_extractor_for
-    from stutter_tpu.extract import BucketBatcher, ExtractionPipeline
+    from stutter_tpu.extract import ExtractionPipeline
 
     mesh = build_mesh(args)
+    name = default_model_name(args.model_type, args.model_name)
     if args.model_type == "combined":
-        parts = [("wavlm", args.model_name or "microsoft/wavlm-large"),
-                 ("whisper", args.whisper_model_name)]
+        parts = [("wavlm", name), ("whisper", args.whisper_model_name)]
     else:
-        name = args.model_name or (
-            "microsoft/wavlm-large" if "wavlm" in args.model_type
-            else "openai/whisper-large"
-        )
         parts = [(args.model_type, name)]
 
     splits = [s for s in metadata["split"].unique() if isinstance(s, str)]
@@ -149,16 +152,9 @@ def _extract_corpus(args, metadata: pd.DataFrame, out_root: str, logger) -> bool
         if extractor is None:
             logger.error("unsupported model_type %s", part_type)
             return False
-        from stutter_tpu.extract.batcher import DEFAULT_BUCKETS_S
-
-        batcher = BucketBatcher(
-            buckets_s=getattr(extractor, "preferred_buckets", None)
-            or DEFAULT_BUCKETS_S,
-            audio_budget_s=args.audio_budget,
-            max_batch=args.batch_size,
-            batch_multiple=mesh.data_size if mesh else 1,
-            max_length_s=args.max_length,
-            frame_align=getattr(extractor, "frame_align", None),
+        batcher = make_bucket_batcher(
+            extractor, mesh, audio_budget_s=args.audio_budget,
+            max_batch=args.batch_size, max_length_s=args.max_length,
         )
         pipe = ExtractionPipeline(extractor, batcher=batcher,
                                   long_file_policy=args.long_files)
@@ -178,6 +174,7 @@ def main(argv=None) -> int:
 
     clf = ServingClassifier.load(args.classifier_model)
 
+    corpus_splits = None  # None = trust every split on disk (--embeddings_dir)
     if args.embeddings_dir:
         store_root = args.embeddings_dir
     else:
@@ -194,8 +191,11 @@ def main(argv=None) -> int:
         logger.info("extracting %d clips -> %s", len(metadata), store_root)
         if not _extract_corpus(args, metadata, store_root, logger):
             return 1
+        corpus_splits = [s for s in metadata["split"].unique()
+                         if isinstance(s, str)]
 
-    meta, layers = _load_store(store_root, args.model_type, logger)
+    meta, layers = _load_store(store_root, args.model_type, logger,
+                               restrict=corpus_splits)
     if meta is None or not layers:
         return 1
     if clf.layer not in layers:

@@ -91,17 +91,17 @@ def main(argv=None) -> int:
             logger.error("--http expects HOST:PORT, got %r", args.http)
             return 2
         http_port = int(port_str)
+    from stutter_tpu.cli.common import default_model_name, make_bucket_batcher
     from stutter_tpu.cli.train import build_extractor_for
-    from stutter_tpu.extract.batcher import BucketBatcher
     from stutter_tpu.serve import EmbeddingServer, jsonl_requests
 
     mesh = build_mesh(args)
+    model_name = default_model_name(args.model_type, args.model_name)
     if args.model_type == "combined":
         # both backbones in one server: fusion-store column naming incl.
         # combined_top, so 'combined'-trained classifiers serve (serve/combined.py)
         from stutter_tpu.serve import CombinedExtractor
 
-        model_name = args.model_name or "microsoft/wavlm-large"
         extractor = CombinedExtractor(
             build_extractor_for("wavlm", model_name, args.random_init, mesh,
                                 args.preset),
@@ -109,22 +109,12 @@ def main(argv=None) -> int:
                                 args.random_init, mesh, args.preset),
         )
     else:
-        model_name = args.model_name or (
-            "microsoft/wavlm-large" if "wavlm" in args.model_type
-            else "openai/whisper-large"
-        )
         extractor = build_extractor_for(
             args.model_type, model_name, args.random_init, mesh, args.preset
         )
     if extractor is None:
         logger.error("unsupported model_type %s", args.model_type)
         return 1
-
-    # honor the extractor's preferred buckets exactly like ExtractionPipeline
-    # does (extract/pipeline.py): whisper pads every input to 30 s on device,
-    # so default multi-second buckets would compile one identical-work XLA
-    # program per occupied bucket (60-90 s each) for zero batching benefit
-    from stutter_tpu.extract.batcher import DEFAULT_BUCKETS_S
 
     classifier = None
     if args.classifier_model:
@@ -136,12 +126,9 @@ def main(argv=None) -> int:
                else None)
     server = EmbeddingServer(
         extractor,
-        batcher=BucketBatcher(
-            buckets_s=buckets
-            or getattr(extractor, "preferred_buckets", None) or DEFAULT_BUCKETS_S,
+        batcher=make_bucket_batcher(
+            extractor, mesh, buckets_s=buckets,
             audio_budget_s=args.max_clips * 3.0, max_batch=args.max_clips,
-            batch_multiple=mesh.data_size if mesh else 1,
-            frame_align=getattr(extractor, "frame_align", None),
         ),
         max_wait_s=args.max_wait_ms / 1e3,
         max_clips=args.max_clips,

@@ -122,13 +122,20 @@ def _warmup_bucket_programs(extractor, batcher, arg_shapes) -> int:
     """AOT-compile one device program per bucket, no audio involved.
 
     ``jax.jit(...).lower(shapes).compile()`` builds exactly the executable a
-    real batch of that bucket's shape would trigger; with the persistent
-    compile cache enabled (cli/common.enable_compilation_cache) the result
-    lands on disk, so production starts and first-of-bucket serving requests
-    never pay the 60-90 s remote compile at request time. ``arg_shapes(B, n)``
+    real batch of that bucket's shape would trigger; the persistent compile
+    cache (enabled here if the caller hasn't set one) puts the result on
+    disk, so production starts and first-of-bucket serving requests never
+    pay the 60-90 s remote compile at request time. ``arg_shapes(B, n)``
     returns the extractor's post-transfer argument (shape, dtype) list.
     Returns the number of bucket programs compiled."""
     import jax
+
+    from stutter_tpu.utils.jaxcache import enable_compilation_cache
+
+    # The AOT executable is discarded; the warmup guarantee rides on the
+    # persistent cache, so turn it on for library callers who never touched
+    # cli/common (no-op when a cache dir is already configured).
+    enable_compilation_cache()
 
     mesh = getattr(extractor, "mesh", None)
     count = 0

@@ -204,3 +204,17 @@ def test_decode_batch_isolates_corrupt_file(tmp_path, rng):
     assert list(ok) == [True, False, True]
     assert list(lengths) == [4000, 0, 2000]
     assert np.all(waves[1] == 0)
+
+
+def test_wav_info_sub_byte_bits_raises_value_error(tmp_path):
+    """4-bit (e.g. IMA-ADPCM) headers must raise ValueError — not
+    ZeroDivisionError — so audio_info can fall through to the libav probe,
+    which CAN size such files (wavio.py wav_info fmt guard)."""
+    from stutter_tpu.audio.wavio import wav_info
+
+    path = _write(tmp_path, _build_wav(b"\x00" * 64, fmt_tag=0x11, bits=4))
+    with pytest.raises(ValueError):
+        wav_info(path)
+    path2 = _write(tmp_path, _build_wav(b"\x00" * 64, channels=0))
+    with pytest.raises(ValueError):
+        wav_info(path2)

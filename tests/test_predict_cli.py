@@ -155,3 +155,46 @@ def test_predict_combined_from_audio(tmp_path, monkeypatch):
     out = pd.read_csv(out_csv)
     assert len(out) == 3
     assert set(out["predicted_label"]) <= set(CLASS_NAMES)
+
+
+def test_predict_reused_store_ignores_stale_splits(tmp_path, monkeypatch):
+    """A reused --keep_embeddings_dir holding an earlier corpus's split dirs
+    must not leak those rows into this run's predictions: only the splits the
+    current corpus produced are loaded (cli/predict.py _present_splits
+    restrict)."""
+    from stutter_tpu.extract.store import save_embeddings
+    from stutter_tpu.models import WavLMConfig
+
+    monkeypatch.setattr(
+        WavLMConfig, "base", staticmethod(lambda: WavLMConfig.tiny(32, 2, 4))
+    )
+    from stutter_tpu.cli.predict import main
+
+    store = str(tmp_path / "store")
+    # stale leftovers: a 'train' split from some previous corpus, same layer
+    stale = pd.DataFrame({
+        "filename": [f"stale_{i}" for i in range(4)],
+        "path": [f"/old/stale_{i}.wav" for i in range(4)],
+        "layer_2": list(np.zeros((4, 32), np.float32)),
+    })
+    save_embeddings(stale, os.path.join(store, "wavlm"), split="train")
+
+    root = str(tmp_path / "corpus")
+    make_synthetic_corpus(root, n_per_split={"train": 4}, seed=13)
+    clips = sorted(glob.glob(os.path.join(root, "wav", "*.wav")))
+
+    model_path = _make_artifact(str(tmp_path / "clf"), "layer_2", 32)
+    out_csv = str(tmp_path / "pred.csv")
+    rc = main([
+        "--audio_dir", os.path.join(root, "wav"),
+        "--classifier_model", model_path,
+        "--model_type", "wavlm", "--model_name", "microsoft/wavlm-base",
+        "--random_init", "--output", out_csv,
+        "--keep_embeddings_dir", store,
+        "--audio_budget", "16",
+    ])
+    assert rc == 0
+    out = pd.read_csv(out_csv)
+    assert len(out) == len(clips)
+    assert not any(str(f).startswith("stale_") for f in out["filename"])
+    assert (out["split"] == "predict").all()
