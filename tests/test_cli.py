@@ -230,3 +230,34 @@ def test_extract_wavlm_cli_turbo_preset(corpus, tmp_path, monkeypatch):
     assert len(npys) == 3
     for f in npys:
         assert np.isfinite(np.load(os.path.join(out, "train", f))).all()
+
+
+def test_make_bucket_batcher_honors_extractor_preferences():
+    """The serve/predict shared constructor (cli/common.make_bucket_batcher):
+    extractor preferred_buckets win unless the caller names buckets, mesh data
+    size becomes the batch multiple, and frame_align rides through."""
+    from types import SimpleNamespace
+
+    from stutter_tpu.cli.common import make_bucket_batcher
+    from stutter_tpu.extract.batcher import DEFAULT_BUCKETS_S
+
+    ex = SimpleNamespace(preferred_buckets=(30.0,), frame_align=(10, 5, 16))
+    mesh = SimpleNamespace(data_size=4)
+
+    b = make_bucket_batcher(ex, mesh, audio_budget_s=60.0, max_batch=8)
+    assert b.buckets_s == (30.0,)
+    assert b.batch_multiple == 4
+    assert b.frame_align == (10, 5, 16)
+
+    # explicit buckets override the extractor's preference
+    b2 = make_bucket_batcher(ex, None, buckets_s=(2.0, 4.0),
+                             audio_budget_s=16.0, max_batch=8,
+                             max_length_s=12.0)
+    # (max_length_s joins the ladder as the trim bucket)
+    assert b2.buckets_s == (2.0, 4.0, 12.0)
+    assert b2.batch_multiple == 1
+
+    # an extractor with no preferences falls back to the defaults
+    plain = SimpleNamespace()
+    b3 = make_bucket_batcher(plain, None, audio_budget_s=16.0, max_batch=8)
+    assert b3.buckets_s == tuple(sorted(DEFAULT_BUCKETS_S))
