@@ -122,18 +122,26 @@ def get_ff_lib() -> ctypes.CDLL | None:
         # architecture, not just x86_64), plain /usr/include, /usr/local.
         import glob as _glob
 
-        if not any(
-            _glob.glob(pat) for pat in (
+        hits = [
+            h for pat in (
                 "/usr/include/*/libavformat/avformat.h",
                 "/usr/include/libavformat/avformat.h",
                 "/usr/local/include/libavformat/avformat.h",
-            )
-        ):
+            ) for h in _glob.glob(pat)
+        ]
+        if not hits:
             logger.info("libav headers not found; compressed-audio decode disabled")
             return None
+        # non-default include roots (e.g. Fedora's /usr/include/ffmpeg/) need
+        # an explicit -I at the libavformat parent, or the probe passes but
+        # the build fails; gcc ignores redundant -I for default roots
+        inc_flags = sorted({
+            f"-I{os.path.dirname(os.path.dirname(h))}" for h in hits
+        })
         if not os.path.exists(_FF_SO) or os.path.getmtime(_FF_SO) < os.path.getmtime(_FF_CSRC):
             if not _compile_so(_FF_CSRC, _FF_SO,
-                               ["-lavformat", "-lavcodec", "-lavutil"], "ffdecode"):
+                               [*inc_flags, "-lavformat", "-lavcodec", "-lavutil"],
+                               "ffdecode"):
                 return None
         try:
             lib = ctypes.CDLL(_FF_SO)

@@ -162,6 +162,16 @@ def _extract_corpus(args, metadata: pd.DataFrame, out_root: str, logger) -> bool
         # (load_embeddings resolves either, matching the train CLI)
         dest = os.path.join(out_root, part_type if args.model_type == "combined"
                             else args.model_type)
+        # a reused --keep_embeddings_dir may hold a SAME-NAMED split from an
+        # earlier corpus: clear its stale layer .npy files before rewriting,
+        # or load_embeddings' directory scan would pick up layer columns this
+        # extraction never wrote (row-count mismatch downstream)
+        for split in splits:
+            split_dir = os.path.join(dest, split)
+            if os.path.isdir(split_dir):
+                for f in os.listdir(split_dir):
+                    if f.endswith("_embeddings.npy"):
+                        os.unlink(os.path.join(split_dir, f))
         pipe.run(metadata, dest, splits=splits)
     return True
 

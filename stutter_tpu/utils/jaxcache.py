@@ -29,6 +29,14 @@ def enable_compilation_cache(cache_dir: str = DEFAULT_CACHE_DIR) -> None:
     except AttributeError:
         current = None
     if current:
+        if cache_dir != DEFAULT_CACHE_DIR and cache_dir != current:
+            # an explicit custom dir loses to an earlier configuration
+            # (e.g. warmup already enabled the default) — say so rather
+            # than silently no-op'ing
+            logger.warning(
+                "compilation cache already at %s; ignoring requested %s",
+                current, cache_dir,
+            )
         return
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
