@@ -32,6 +32,19 @@ def chain_time(fn, args, iters: int = 12) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def whisper_encoder_flops(cfg, batch: int) -> int:
+    """FLOPs (MACs x 2) for one whisper encoder forward over 30 s inputs.
+
+    Stem: Conv1d(mel->D, k3, 3000 frames) + Conv1d(D->D, k3, s2, 1500
+    frames); encoder per token per layer: qkvo 4D^2 + attention
+    scores/values 2LD + ffn 2DF MACs (modeling_whisper.py:608-609,372-432).
+    """
+    D, F, L = cfg.d_model, cfg.ffn_dim, cfg.max_source_positions
+    stem = 2 * L * 3 * cfg.num_mel_bins * D + L * 3 * D * D
+    enc = (4 * D * D + 2 * L * D + 2 * D * F) * L * cfg.encoder_layers
+    return 2 * (stem + enc) * batch
+
+
 def wavlm_flops(cfg, batch: int, n_samples: int) -> tuple[int, int, int]:
     """(encoder_flops, stem_flops, n_frames) for one batch, MACs x 2.
 
