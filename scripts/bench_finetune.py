@@ -36,6 +36,14 @@ def main():
     ap.add_argument("--freeze_backbone", action="store_true",
                     help="SUPERB-style frozen probe: stop_gradient prunes "
                          "the backbone backward from the step program")
+    ap.add_argument("--remat_policy", choices=["nothing", "dots"],
+                    default="nothing",
+                    help="with remat on: 'dots' saves matmul outputs and "
+                         "recomputes only elementwise work")
+    ap.add_argument("--f32_params", action="store_true",
+                    help="disable the mixed-precision bf16 param cast, "
+                         "keeping bf16 activations (the pre-round-3 "
+                         "behavior, for A/B comparison)")
     args = ap.parse_args()
 
     from stutter_tpu.cli.common import enable_compilation_cache
@@ -49,7 +57,9 @@ def main():
     model_cfg = WavLMConfig.large()
     cfg = FinetuneConfig(model=model_cfg, n_classes=8,
                          remat_encoder=not args.no_remat,
-                         freeze_backbone=args.freeze_backbone)
+                         remat_policy=args.remat_policy,
+                         freeze_backbone=args.freeze_backbone,
+                         cast_params=not args.f32_params)
     K = max(1, args.grad_accum)
     trainer = FinetuneTrainer(cfg, grad_accum=K)
 

@@ -41,6 +41,12 @@ def parse_args(argv=None):
                              "throughput at batch 16 x 3 s on one v5e chip "
                              "(554 vs 445 audio-s/s); default stays remat for "
                              "headroom at bigger batch x length products")
+    parser.add_argument("--remat_policy", choices=["nothing", "dots"],
+                        default="nothing",
+                        help="With remat on: 'dots' saves matmul outputs and "
+                             "recomputes only elementwise work — most of "
+                             "no-remat's speed at a fraction of its "
+                             "activation memory")
     parser.add_argument("--checkpoint_dir", type=str, default=None,
                         help="Save the full train state (params + opt_state, "
                              "orbax, shard-aware) here after every epoch; "
@@ -88,6 +94,7 @@ def main(argv=None) -> int:
         backbone_lr=args.backbone_lr, head_lr=args.head_lr,
         freeze_backbone=args.freeze_backbone,
         remat_encoder=not args.no_remat,
+        remat_policy=args.remat_policy,
         precision=__import__("jax").lax.Precision.DEFAULT,
         activation_dtype=jnp.bfloat16,
     )

@@ -87,8 +87,19 @@ def cast_params_for_preset(params, preset: str):
         )
 
         params = dict(params)
-        for block, keys in (("encoder", WAVLM_QUANT_KEYS + WHISPER_QUANT_KEYS),
-                            ("decoder", WHISPER_QUANT_KEYS)):
+        # The whisper DECODER stays bf16: its quantization contributed as
+        # much end-to-end error as the whole 32-layer encoder (~4.2e-4 of
+        # the 7.4e-4 total, scripts/whisper_turbo_fidelity_sweep.py) while
+        # the extraction decoder runs ONE token — int8 there bought ~3% of
+        # extract throughput and none of the encoder headline. The whisper
+        # encoder's attn_o also stays bf16: it was the single biggest int8
+        # error key, and skipping it bought 4.10e-4 -> 3.40e-4 end-to-end
+        # fidelity for ~1% encoder throughput (sweep2 on v5e: 1852 -> 1829
+        # audio-s/s). WavLM's o_w stays int8 — its measured turbo fidelity
+        # (2.7e-4) already has 3.7x margin under the 1e-3 bar.
+        whisper_enc_keys = tuple(k for k in WHISPER_QUANT_KEYS
+                                 if k != "attn_o_w")
+        for block, keys in (("encoder", WAVLM_QUANT_KEYS + whisper_enc_keys),):
             if block in params and isinstance(params[block], dict) \
                     and "layers" in params[block]:
                 params[block] = dict(params[block])

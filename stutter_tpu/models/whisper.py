@@ -182,6 +182,11 @@ def _ffn(x, p, precision):
 
     h = (qdense(x, p["fc1_w"], precision) + p["fc1_b"]).astype(x.dtype)
     h = _gelu(h)
+    # Measured negative result (scripts/whisper_turbo_fidelity_sweep2.py on
+    # v5e): asymmetric activation quantization for this post-GELU fc2 input
+    # (ops/quant.dense_asym) bought ~1% end-to-end fidelity (4.10e-4 ->
+    # 4.05e-4) for -4% encoder throughput — the dominant int8 error lives in
+    # attn_o (kept bf16 at preset-cast time), not in fc2's activation step.
     return (qdense(h, p["fc2_w"], precision) + p["fc2_b"]).astype(x.dtype)
 
 

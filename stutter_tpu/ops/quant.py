@@ -48,7 +48,12 @@ def quantize_weight(w: jax.Array, contract_axis: int = -2) -> Quantized:
     s = jnp.max(jnp.abs(wf), axis=contract_axis, keepdims=True) / 127.0
     s = jnp.maximum(s, 1e-12)
     q = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
-    return {"q": q, "s": jnp.squeeze(s, axis=contract_axis)}
+    s = jnp.squeeze(s, axis=contract_axis)
+    # "cs" = per-output-channel column sum of the DEQUANTIZED weight —
+    # precomputed here so the asymmetric activation path's zero-point
+    # correction (qdot_asym) never re-reads the whole weight at run time
+    cs = jnp.sum(q.astype(jnp.int32), axis=contract_axis).astype(jnp.float32) * s
+    return {"q": q, "s": s, "cs": cs}
 
 
 def qdot(x: jax.Array, wq: jax.Array, sw: jax.Array) -> jax.Array:
@@ -70,12 +75,51 @@ def qdot(x: jax.Array, wq: jax.Array, sw: jax.Array) -> jax.Array:
     return acc.astype(jnp.float32) * s * sw
 
 
+def qdot_asym(x: jax.Array, wq: jax.Array, sw: jax.Array,
+              colsum: jax.Array) -> jax.Array:
+    """Like qdot but with ASYMMETRIC per-token activation quantization.
+
+    x ~ s*xq + z (z = per-token range midpoint), so
+    x @ W = s*(xq @ W) + z * colsum(W), with colsum(W) the per-channel [N]
+    column sum of the dequantized weight, precomputed at quantize time
+    (quantize_weight's "cs"). One-sided activations (e.g. GELU outputs:
+    min ~= -0.17, max unbounded) waste half the symmetric range; centering
+    halves their quantization step. Symmetric-ish inputs lose nothing
+    (z ~= 0).
+    """
+    xf = x.astype(jnp.float32)
+    hi = jnp.max(xf, axis=-1, keepdims=True)
+    lo = jnp.min(xf, axis=-1, keepdims=True)
+    z = (hi + lo) * 0.5
+    s = jnp.maximum((hi - lo) / 254.0, 1e-8)
+    xq = jnp.clip(jnp.round((xf - z) / s), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * s * sw + z * colsum
+
+
 def dense(x: jax.Array, w, precision) -> jax.Array:
     """Dispatch a dense projection: quantized dict -> int8 path (result cast
     back to x.dtype so downstream elementwise/gelu/flash code is unchanged);
     plain array -> the usual einsum."""
     if isinstance(w, dict):
         return qdot(x, w["q"], w["s"]).astype(x.dtype)
+    return jnp.einsum("...d,de->...e", x, w, precision=precision)
+
+
+def dense_asym(x: jax.Array, w, precision) -> jax.Array:
+    """dense() with the asymmetric activation path for quantized weights.
+
+    For GEMMs whose inputs are one-sided (post-GELU FFN projections) the
+    per-GEMM error roughly halves (tests/test_quant.py). Measured END-TO-END
+    on whisper-large fc2 it was a net loss (-4% encoder throughput for ~1%
+    fidelity, scripts/whisper_turbo_fidelity_sweep2.py) so no production
+    path uses it today; it stays available for checkpoints whose outlier
+    structure makes fc2 the fidelity bottleneck."""
+    if isinstance(w, dict):
+        return qdot_asym(x, w["q"], w["s"], w["cs"]).astype(x.dtype)
     return jnp.einsum("...d,de->...e", x, w, precision=precision)
 
 

@@ -42,8 +42,21 @@ class FinetuneConfig:
     freeze_feature_encoder: bool = True  # standard for wav2vec2-family fine-tune
     freeze_backbone: bool = False  # True = SUPERB-style weighted-sum probe
     remat_encoder: bool = True
+    # "nothing": recompute everything in the backward (min memory);
+    # "dots": save matmul outputs, recompute only elementwise/norm work —
+    # most of no-remat's speed at a fraction of its activation memory
+    remat_policy: str = "nothing"
     precision: Any = jax.lax.Precision.DEFAULT
     activation_dtype: Any = jnp.bfloat16
+    # mixed precision: cast the f32 master weights to activation_dtype for
+    # the forward/backward (False = the pre-round-3 behavior, f32 weights
+    # into bf16 activations — kept only for A/B measurement)
+    cast_params: bool = True
+    # adamw first-moment dtype: bf16 halves the momentum buffer's HBM
+    # footprint and read/write traffic per update; the ~0.4% relative
+    # rounding on a momentum average is far below gradient noise (nu stays
+    # f32 — it is divided by, so its precision sets the step scale)
+    mu_dtype: Any = jnp.bfloat16
     seed: int = 0
 
 
@@ -76,6 +89,21 @@ def finetune_forward(
 ) -> jax.Array:
     """[B, T] padded waves + [B] lengths -> [B, n_classes] logits."""
     x = wavlm_prepare_batch(waves, lengths, cfg.model.do_normalize)
+    backbone = params["backbone"]
+    if cfg.cast_params and cfg.activation_dtype != jnp.float32:
+        # Mixed precision: cast the f32 master weights to the compute dtype
+        # once per step, OUTSIDE the remat boundary (one cast, its bf16 tree
+        # is the checkpointed function's input). f32 params otherwise poison
+        # every encoder matmul into the slow f32 MXU mode — the same effect
+        # cast_params_for_preset fixes for extraction (measured there as
+        # +40% step time; fine-tune numbers: scripts/bench_finetune.py,
+        # DESIGN.md §6b). Gradients flow through the cast and arrive f32 on
+        # the master weights; adamw updates stay full-precision.
+        backbone = jax.tree.map(
+            lambda p: p.astype(cfg.activation_dtype)
+            if p.dtype == jnp.float32 else p,
+            backbone,
+        )
     sa_rng = None
     if train and rng is not None and cfg.model.apply_spec_augment:
         rng, sa_rng = jax.random.split(rng)
@@ -86,7 +114,9 @@ def finetune_forward(
             # cfg, precision, activation_dtype, hidden_reducer, use_flash,
             # f32_attention_softmax
             static_argnums=(2, 4, 5, 7, 8, 9),
-            policy=jax.checkpoint_policies.nothing_saveable,
+            policy=(jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                    if cfg.remat_policy == "dots"
+                    else jax.checkpoint_policies.nothing_saveable),
         )
     # use_flash=False: the training path must stay differentiable — the
     # long-bucket (L>=512) attention kernels are raw pallas_calls with no
@@ -98,7 +128,7 @@ def finetune_forward(
     # must not set gradient numerics — training keeps the f32 attention
     # softmax it was measured/converged with (caught by round-2 code review).
     _, all_hidden, frame_lengths = fwd(
-        params["backbone"], x, cfg.model, lengths,
+        backbone, x, cfg.model, lengths,
         cfg.precision, cfg.activation_dtype, sa_rng, None, False, True,
     )
     if cfg.freeze_backbone:
@@ -136,8 +166,10 @@ def make_optimizer(cfg: FinetuneConfig, params) -> optax.GradientTransformation:
 
     return optax.multi_transform(
         {
-            "backbone": optax.adamw(cfg.backbone_lr, weight_decay=cfg.weight_decay),
-            "head": optax.adamw(cfg.head_lr, weight_decay=cfg.weight_decay),
+            "backbone": optax.adamw(cfg.backbone_lr, weight_decay=cfg.weight_decay,
+                                    mu_dtype=cfg.mu_dtype),
+            "head": optax.adamw(cfg.head_lr, weight_decay=cfg.weight_decay,
+                                mu_dtype=cfg.mu_dtype),
             "frozen": optax.set_to_zero(),
         },
         label_fn,

@@ -30,6 +30,39 @@ def test_qdot_matches_f32_within_quant_error(rng):
     assert rel < 0.025, rel
 
 
+def test_qdot_asym_beats_symmetric_on_one_sided_input(rng):
+    """Post-GELU-shaped (one-sided) activations: the asymmetric per-token
+    path must be accurate AND strictly better than symmetric, since
+    centering halves the quantization step on a [-0.17, max] range."""
+    from stutter_tpu.ops.quant import qdot_asym
+
+    h = rng.randn(64, 256).astype(np.float32)
+    x = jnp.asarray(np.where(h > 0, h, -0.17 * np.exp(h)))  # GELU-ish tail
+    w = jnp.asarray(rng.randn(256, 128).astype(np.float32) * 0.05)
+    qw = quantize_weight(w)
+    y_ref = np.asarray(x @ w)
+    err_sym = np.linalg.norm(np.asarray(qdot(x, qw["q"], qw["s"])) - y_ref)
+    err_asym = np.linalg.norm(
+        np.asarray(qdot_asym(x, qw["q"], qw["s"], qw["cs"])) - y_ref)
+    assert err_asym < 0.02 * np.linalg.norm(y_ref), err_asym
+    # the weight-quant error is a shared floor both paths carry; halving the
+    # ACTIVATION step shows up as ~0.75x total (measured 0.752)
+    assert err_asym < 0.85 * err_sym, (err_asym, err_sym)
+
+
+def test_dense_asym_dispatch(rng):
+    from stutter_tpu.ops.quant import dense_asym
+
+    x = jnp.asarray(rng.randn(8, 64).astype(np.float32), jnp.bfloat16)
+    w = jnp.asarray(rng.randn(64, 32).astype(np.float32) * 0.1)
+    plain = dense_asym(x, w.astype(jnp.bfloat16), jax.lax.Precision.DEFAULT)
+    quant = dense_asym(x, quantize_weight(w), jax.lax.Precision.DEFAULT)
+    assert quant.dtype == jnp.bfloat16
+    rel = np.linalg.norm(np.asarray(quant, np.float32) - np.asarray(plain, np.float32))
+    rel /= np.linalg.norm(np.asarray(plain, np.float32))
+    assert rel < 0.05, rel
+
+
 def test_quantize_weight_stacked_layers(rng):
     w = jnp.asarray(rng.randn(4, 32, 16).astype(np.float32))
     qw = quantize_weight(w)
@@ -74,12 +107,20 @@ def test_turbo_preset_quantizes_whisper_layers():
 
     cfg = WhisperConfig.tiny()
     params = cast_params_for_preset(init_whisper_params(jax.random.key(0), cfg), "turbo")
-    for block, keys in (("encoder", ("attn_q_w", "fc1_w")),
-                        ("decoder", ("attn_q_w", "xattn_k_w", "fc2_w"))):
-        layers = params[block]["layers"]
-        for key in keys:
-            assert isinstance(layers[key], dict) and layers[key]["q"].dtype == jnp.int8, (
-                block, key)
+    layers = params["encoder"]["layers"]
+    for key in ("attn_q_w", "fc1_w", "fc2_w"):
+        assert isinstance(layers[key], dict) and layers[key]["q"].dtype == jnp.int8, key
+    # encoder attn_o stays bf16: the largest single int8 error contributor,
+    # skipping it bought 4.10e-4 -> 3.40e-4 end-to-end fidelity for ~1%
+    # throughput (scripts/whisper_turbo_fidelity_sweep2.py)
+    assert not isinstance(layers["attn_o_w"], dict) \
+        and layers["attn_o_w"].dtype == jnp.bfloat16
+    # the decoder deliberately stays bf16 (its int8 error matched the whole
+    # encoder's while the one-token extraction decode gained ~nothing —
+    # scripts/whisper_turbo_fidelity_sweep.py)
+    dec = params["decoder"]["layers"]
+    for key in ("attn_q_w", "xattn_k_w", "fc2_w"):
+        assert not isinstance(dec[key], dict) and dec[key].dtype == jnp.bfloat16, key
     assert params["decoder"]["embed_tokens"].dtype == jnp.bfloat16
 
 
