@@ -581,6 +581,7 @@ def wavlm_forward(
     hidden_reducer=None,
     use_flash: bool = True,
     f32_attention_softmax: bool = False,
+    use_fused_stem: bool = False,
 ):
     """Full WavLM forward with all hidden states (WavLMModel.forward parity).
 
@@ -590,12 +591,37 @@ def wavlm_forward(
     _mask_hidden_states; inference passes None, matching the reference's
     no-op at WavLM_embeddings.py inference calls).
 
+    use_fused_stem routes the conv stem through the fully-fused Pallas
+    kernel (ops/wavlm_stem_pallas) when it exactly applies (layer-norm stem,
+    bf16, frame-aligned bucket length — fused_stem_applicable); inference
+    paths only, like use_flash: the raw pallas_call has no VJP and no GSPMD
+    partition rule. MEASURED SLOWER than the XLA stem on v5e (see the kernel
+    module docstring) — no production caller sets it; it stays as an
+    experiment switch.
+
     Returns (last_hidden, all_hidden [N+1, B, L, D], frame_lengths [B]).
     """
-    feats = conv_feature_encoder(
-        params["feature_encoder"], waveform, cfg, precision,
-        sample_lengths=sample_lengths, compute_dtype=activation_dtype,
-    )
+    stem = params["feature_encoder"]
+    fused = False
+    if use_fused_stem and activation_dtype == jnp.bfloat16:
+        from stutter_tpu.ops.wavlm_stem_pallas import (
+            fused_stem_applicable, wavlm_fused_stem)
+
+        fused = fused_stem_applicable(cfg, waveform.shape[1], stem["conv_layers"])
+    if fused:
+        feats = wavlm_fused_stem(waveform, stem["conv_layers"])
+        if sample_lengths is not None:
+            # the kernel emits unmasked frames; for the per-frame layer-norm
+            # stem, end-masking == the XLA path's per-layer masking
+            fl = wavlm_feature_lengths(cfg, sample_lengths)
+            feats = feats * (
+                jnp.arange(feats.shape[1])[None, :] < fl[:, None]
+            )[:, :, None].astype(feats.dtype)
+    else:
+        feats = conv_feature_encoder(
+            stem, waveform, cfg, precision,
+            sample_lengths=sample_lengths, compute_dtype=activation_dtype,
+        )
     feats = layer_norm(feats, params["feature_projection"]["ln"], cfg.layer_norm_eps)
     hidden = (
         jnp.einsum(
@@ -638,6 +664,7 @@ def wavlm_encode(
     precision=jax.lax.Precision.HIGHEST,
     activation_dtype=jnp.float32,
     use_flash: bool = True,
+    use_fused_stem: bool = False,
 ) -> jax.Array:
     """Mean-pooled embeddings for the selected hidden-state indices.
 
@@ -660,6 +687,7 @@ def wavlm_encode(
     _, pooled, _ = wavlm_forward(
         params, waveform, cfg, sample_lengths, precision, activation_dtype,
         hidden_reducer=reducer, use_flash=use_flash,
+        use_fused_stem=use_fused_stem,
     )
     return pooled[jnp.asarray(layer_indices)]
 
