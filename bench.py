@@ -250,6 +250,13 @@ def main() -> None:
         except Exception:  # noqa: BLE001
             pass
 
+    finetune_stats = {}
+    if _budget_left() > 600:
+        try:
+            finetune_stats = _finetune_throughput()
+        except Exception:  # noqa: BLE001 — optional section, never kills the line
+            pass
+
     result = {
         "metric": "wavlm_large_extraction_throughput",
         "value": round(throughput, 2),
@@ -278,6 +285,7 @@ def main() -> None:
         "long_bucket_30s_audio_sec_per_sec": long_tp,
         "turbo_fidelity_cosine_distance_vs_f32": turbo_fidelity,
         **whisper_stats,
+        **finetune_stats,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
@@ -378,6 +386,54 @@ def _whisper_throughputs(batch: int = 8) -> dict:
     out["whisper_mfu"] = round(wf / t_best / V5E_BF16_PEAK, 3)
     out["whisper_mfu_bf16"] = round(wf / t_enc_fast / V5E_BF16_PEAK, 3)
     return out
+
+
+def _finetune_throughput(batch: int = 16, grad_accum: int = 4) -> dict:
+    """WavLM-Large fine-tune step throughput at effective batch 64
+    (VERDICT r2 #4): jit fwd+bwd+adamw with encoder remat and the bf16
+    mixed-precision param cast, async-chained like scripts/bench_finetune.py.
+    batch 16 is the unfrozen remote-compile ceiling (batch >= 32 500s
+    server-side); grad_accum 4 gives the BASELINE config[3] effective 64."""
+    from stutter_tpu.models.wavlm import WavLMConfig
+    from stutter_tpu.train.finetune import FinetuneConfig, FinetuneTrainer
+    from stutter_tpu.utils.benchmarking import V5E_BF16_PEAK, wavlm_flops
+
+    model_cfg = WavLMConfig.large()
+    trainer = FinetuneTrainer(
+        FinetuneConfig(model=model_cfg, n_classes=8), grad_accum=grad_accum)
+
+    clip_s, sr = 3.0, 16000
+    # frame-aligned bucket, as cli/finetune.py batches training clips
+    from stutter_tpu.extract.batcher import BucketBatcher
+
+    n = BucketBatcher(frame_align=(*model_cfg.stem_geometry, 16)).bucket_samples(clip_s)
+    rs = np.random.RandomState(0)
+    mbs = [(
+        (rs.randn(batch, n) * 0.1).astype(np.float32),
+        np.full((batch,), n, np.int32),
+        rs.randint(0, 8, batch).astype(np.int32),
+        np.ones((batch,), np.float32),
+    )] * grad_accum
+    cw = np.ones((8,), np.float32)
+
+    trainer.step_accum(mbs, cw)  # compile + first exec
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters - 1):
+        trainer.step_accum(mbs, cw, sync=False)
+    m = trainer.step_accum(mbs, cw)  # metrics fetch syncs the chain
+    t = (time.perf_counter() - t0) / iters
+
+    enc_flops, stem_flops, _ = wavlm_flops(model_cfg, batch, n)
+    return {
+        "finetune_audio_sec_per_sec": round(grad_accum * batch * (n / sr) / t, 1),
+        "finetune_effective_batch": batch * grad_accum,
+        # 3x forward for fwd+bwd; the remat re-forward deliberately not
+        # credited, so this is a conservative lower bound
+        "finetune_mfu_lower_bound": round(
+            3 * (enc_flops + stem_flops) * grad_accum / t / V5E_BF16_PEAK, 3),
+        "finetune_loss_finite": bool(np.isfinite(m["loss"])),
+    }
 
 
 def _main_with_retry() -> None:

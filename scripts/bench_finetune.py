@@ -36,10 +36,13 @@ def main():
     ap.add_argument("--freeze_backbone", action="store_true",
                     help="SUPERB-style frozen probe: stop_gradient prunes "
                          "the backbone backward from the step program")
-    ap.add_argument("--remat_policy", choices=["nothing", "dots"],
-                    default="nothing",
-                    help="with remat on: 'dots' saves matmul outputs and "
-                         "recomputes only elementwise work")
+    ap.add_argument("--remat_policy",
+                    choices=["layer", "layer_probs", "layer_dots",
+                             "nothing", "dots"],
+                    default="layer",
+                    help="'layer' = per-encoder-layer checkpoint (default); "
+                         "'layer_dots' also saves per-layer GEMM outputs; "
+                         "'nothing'/'dots' = whole-forward remat")
     ap.add_argument("--f32_params", action="store_true",
                     help="disable the mixed-precision bf16 param cast, "
                          "keeping bf16 activations (the pre-round-3 "
@@ -64,7 +67,11 @@ def main():
     trainer = FinetuneTrainer(cfg, grad_accum=K)
 
     batch, clip_s, sr = args.batch, 3.0, 16000
-    n = int(clip_s * sr)
+    # frame-aligned bucket padding, exactly as cli/finetune.py batches
+    # training clips (L=160; raw 3.0 s would be L=149, ~40% slower on MXU)
+    from stutter_tpu.extract.batcher import BucketBatcher
+
+    n = BucketBatcher(frame_align=(*model_cfg.stem_geometry, 16)).bucket_samples(clip_s)
     rs = np.random.RandomState(0)
     waves = (rs.randn(batch, n) * 0.1).astype(np.float32)
     lengths = np.full((batch,), n, np.int32)
@@ -105,7 +112,9 @@ def main():
         "freeze_backbone": args.freeze_backbone,
         "effective_batch": batch * K,
         "step_ms": round(t * 1e3, 2),
-        "audio_s_per_s": round(K * batch * clip_s / t, 1),
+        # padded bucket seconds, same accounting as bench.py's extraction
+        # headline (n is the frame-aligned bucket for 3.0 s clips)
+        "audio_s_per_s": round(K * batch * (n / sr) / t, 1),
         "mfu_lower_bound": round(bwd_factor * fwd / t / V5E_BF16_PEAK, 3),
         "loss": float(m["loss"]),
     }

@@ -41,12 +41,17 @@ def parse_args(argv=None):
                              "throughput at batch 16 x 3 s on one v5e chip "
                              "(554 vs 445 audio-s/s); default stays remat for "
                              "headroom at bigger batch x length products")
-    parser.add_argument("--remat_policy", choices=["nothing", "dots"],
-                        default="nothing",
-                        help="With remat on: 'dots' saves matmul outputs and "
-                             "recomputes only elementwise work — most of "
-                             "no-remat's speed at a fraction of its "
-                             "activation memory")
+    parser.add_argument("--remat_policy",
+                        choices=["layer", "layer_probs", "layer_dots",
+                                 "nothing", "dots"],
+                        default="layer",
+                        help="'layer' (default) checkpoints each encoder "
+                             "layer — per-layer recompute, no cross-layer "
+                             "f32 attention-probs residual (whole-forward "
+                             "remat's was 1.88 GB at batch 32, the HBM OOM); "
+                             "'layer_dots' additionally saves each layer's "
+                             "GEMM outputs (measured slower on v5e); "
+                             "'nothing'/'dots' remat the whole forward")
     parser.add_argument("--checkpoint_dir", type=str, default=None,
                         help="Save the full train state (params + opt_state, "
                              "orbax, shard-aware) here after every epoch; "
@@ -103,6 +108,10 @@ def main(argv=None) -> int:
     batcher = BucketBatcher(
         audio_budget_s=args.batch_size * 3.0, max_batch=args.batch_size,
         batch_multiple=mesh.data_size if mesh else 1, max_length_s=args.max_length,
+        # snap bucket lengths so the conv stem yields MXU-friendly frame
+        # counts — a misaligned L=149 trains ~40% slower than L=160 on v5e
+        # (same rule as extraction; extract/batcher.py frame_align)
+        frame_align=(*cfg.model.stem_geometry, 16),
     )
 
     label_by_path = dict(zip(train_meta["path"], y_train))

@@ -466,11 +466,23 @@ def gated_relpos_attention(
         attn = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, precision=precision)
     else:
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k, precision=precision)
-        logits = logits.astype(jnp.float32) + gated_bias()
+        # Every [B, H, L, L] intermediate is checkpoint_name-tagged so the
+        # "layer_probs" remat policy (save_anything_except_these_names) can
+        # refuse to save ANY of the chain: tagging only the softmax output
+        # would make partial-eval save the f32 logits instead (same bytes).
+        # checkpoint_name is a transparent no-op outside jax.checkpoint.
+        from jax.ad_checkpoint import checkpoint_name
+
+        def big(t):
+            return checkpoint_name(t, "attn_big")
+
+        logits = big(jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                                precision=precision))
+        logits = big(logits.astype(jnp.float32) + big(gated_bias()))
         if key_mask_bias is not None:
-            logits = logits + key_mask_bias
-        attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            logits = big(logits + key_mask_bias)
+        attn = big(jax.nn.softmax(logits, axis=-1))
+        attn = big(attn.astype(x.dtype))
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, precision=precision)
     out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
     return (qdense(out, layer["o_w"], precision) + layer["o_b"]).astype(x.dtype)
@@ -523,6 +535,7 @@ def wavlm_encoder(
     reducer=None,
     use_flash: bool = True,
     f32_attention_softmax: bool = False,
+    remat_layers: bool | str = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Run the transformer stack via lax.scan over stacked layer params.
 
@@ -533,6 +546,14 @@ def wavlm_encoder(
     profiled `.at[-1].set` there cost ~25% of the whole forward). A reducer
     (e.g. masked mean-pool) is applied to every collected state INSIDE the
     scan, so extraction never materializes the full stack at all.
+
+    remat_layers=True checkpoints the scan BODY (the standard per-layer
+    transformer remat): under jax.grad each layer's internals — including
+    the f32 attention probabilities, whose stacked-across-layers residual
+    [N, B, H, L, L] is what OOM'd whole-forward remat at batch 32 (1.88 GB
+    padded on v5e) — are recomputed inside that layer's backward, and the
+    only cross-layer residual is the [N, B, L, D] stack of layer inputs the
+    scan saves anyway.
     """
     B, L, _ = hidden.shape
     key_mask_bias = None
@@ -555,6 +576,22 @@ def wavlm_encoder(
         out = out.astype(carry.dtype)
         return out, collect(carry)  # yield layer INPUT (HF hidden_states[i])
 
+    if remat_layers:
+        # "dots" saves each layer's dot_general outputs (QKV/attn-out/FFN
+        # GEMMs and the attention logits) and recomputes only elementwise/
+        # norm work in that layer's backward; "save_but_probs" saves
+        # everything EXCEPT the checkpoint_name-tagged [B, H, L, L]
+        # attention chain (the memory hog) — the backward recomputes just
+        # QK^T + bias + softmax per layer, ~1% of the layer's FLOPs;
+        # True/"nothing" recomputes the whole layer (min memory).
+        if remat_layers == "dots":
+            policy = jax.checkpoint_policies.dots_saveable
+        elif remat_layers == "save_but_probs":
+            policy = jax.checkpoint_policies.save_anything_except_these_names(
+                "attn_big")
+        else:
+            policy = jax.checkpoint_policies.nothing_saveable
+        body = jax.checkpoint(body, policy=policy)
     last, states = jax.lax.scan(body, hidden, params["layers"])
 
     if cfg.do_stable_layer_norm:
@@ -582,6 +619,7 @@ def wavlm_forward(
     use_flash: bool = True,
     f32_attention_softmax: bool = False,
     use_fused_stem: bool = False,
+    remat_layers: bool | str = False,
 ):
     """Full WavLM forward with all hidden states (WavLMModel.forward parity).
 
@@ -650,7 +688,7 @@ def wavlm_forward(
         params["encoder"], hidden,
         frame_lengths if sample_lengths is not None else None,
         cfg, precision, reducer=hidden_reducer, use_flash=use_flash,
-        f32_attention_softmax=f32_attention_softmax,
+        f32_attention_softmax=f32_attention_softmax, remat_layers=remat_layers,
     )
     return last, all_hidden, frame_lengths
 

@@ -42,10 +42,21 @@ class FinetuneConfig:
     freeze_feature_encoder: bool = True  # standard for wav2vec2-family fine-tune
     freeze_backbone: bool = False  # True = SUPERB-style weighted-sum probe
     remat_encoder: bool = True
-    # "nothing": recompute everything in the backward (min memory);
-    # "dots": save matmul outputs, recompute only elementwise/norm work —
-    # most of no-remat's speed at a fraction of its activation memory
-    remat_policy: str = "nothing"
+    # "layer": checkpoint each encoder scan layer (the standard transformer
+    #   remat) — the cross-layer residual is just the [N, B, L, D] input
+    #   stack; each layer's f32 attention probs recompute inside its own
+    #   backward. Whole-forward remat ("nothing"/"dots") instead stacks the
+    #   probs residual [N, B, H, L, L] f32 across ALL layers during the
+    #   recompute — 1.88 GB at batch 32 on v5e, the allocation that OOM'd it.
+    # "layer_probs": per-layer checkpoint that saves everything EXCEPT the
+    #   [B, H, L, L] attention chain — backward recomputes only
+    #   QK^T + bias + softmax (~1% of layer FLOPs): near no-remat speed at
+    #   layer-remat-like memory.
+    # "layer_dots": per-layer checkpoint that saves each layer's GEMM
+    #   outputs (incl. attention logits) and recomputes only elementwise work.
+    # "nothing": whole-forward remat, recompute everything in the backward;
+    # "dots": whole-forward remat saving matmul outputs.
+    remat_policy: str = "layer"
     precision: Any = jax.lax.Precision.DEFAULT
     activation_dtype: Any = jnp.bfloat16
     # mixed precision: cast the f32 master weights to activation_dtype for
@@ -108,7 +119,12 @@ def finetune_forward(
     if train and rng is not None and cfg.model.apply_spec_augment:
         rng, sa_rng = jax.random.split(rng)
     fwd = wavlm_forward
-    if cfg.remat_encoder:
+    remat_layers: bool | str = False
+    if cfg.remat_encoder and cfg.remat_policy.startswith("layer"):
+        # per-layer checkpoint variants (see FinetuneConfig.remat_policy)
+        remat_layers = {"layer": True, "layer_dots": "dots",
+                        "layer_probs": "save_but_probs"}[cfg.remat_policy]
+    if cfg.remat_encoder and not remat_layers:
         fwd = jax.checkpoint(
             wavlm_forward,
             # cfg, precision, activation_dtype, hidden_reducer, use_flash,
@@ -127,9 +143,25 @@ def finetune_forward(
     # softmax shortcut (-6 ms/batch, validated on INFERENCE fidelity only)
     # must not set gradient numerics — training keeps the f32 attention
     # softmax it was measured/converged with (caught by round-2 code review).
-    _, all_hidden, frame_lengths = fwd(
+    # Pool INSIDE the encoder scan (hidden_reducer), so the [N+1, B, L, D]
+    # hidden stack never materializes — only [N+1, B, D] pooled vectors do.
+    # masked_mean_pool is linear, so pooling commutes with the layer-weighted
+    # sum: pool(sum_s w_s h_s) == sum_s w_s pool(h_s). At batch 32 the old
+    # stack was 236 MB bf16 + a 472 MB f32 cast — the single biggest buffer
+    # in the step program (batch 32 OOM'd HBM by just 139 MB), plus its
+    # read/write traffic every step.
+    from stutter_tpu.models.wavlm import wavlm_feature_lengths
+
+    frame_lengths = wavlm_feature_lengths(cfg.model, lengths)
+
+    def reducer(h):
+        return masked_mean_pool(h, frame_lengths)  # [B, D] f32, mask-aware
+
+    kw = {"remat_layers": remat_layers} if remat_layers else {}
+    _, pooled_states, _ = fwd(
         backbone, x, cfg.model, lengths,
-        cfg.precision, cfg.activation_dtype, sa_rng, None, False, True,
+        cfg.precision, cfg.activation_dtype, sa_rng, reducer, False, True,
+        **kw,
     )
     if cfg.freeze_backbone:
         # Structural freeze: the optimizer's set_to_zero() alone still makes
@@ -137,10 +169,9 @@ def finetune_forward(
         # stop_gradient makes the backbone grads structurally zero, so XLA
         # prunes the backbone backward from the step program — the SUPERB-
         # style probe then costs ~forward + head backward, not fwd+bwd.
-        all_hidden = jax.lax.stop_gradient(all_hidden)
+        pooled_states = jax.lax.stop_gradient(pooled_states)
     w = jax.nn.softmax(params["layer_weights"])
-    feats = jnp.einsum("s,sbld->bld", w, all_hidden.astype(jnp.float32))
-    pooled = masked_mean_pool(feats, frame_lengths)
+    pooled = jnp.einsum("s,sbd->bd", w, pooled_states.astype(jnp.float32))
     return head_forward(params["head"], pooled,
                         dropout=cfg.head_dropout if train else 0.0, rng=rng)
 
