@@ -8,13 +8,15 @@ of magnitude BASELINE config[4] names, and widens the surface exercised:
   2. cli.extract_wavlm  --preset turbo --long_files chunk   -> store emb/wavlm
   3. cli.extract_whisper --preset turbo --long_files chunk  -> store emb/whisper
   4. cli.train --model_type combined (fusion store, SMOTE, mlp head)
-  5. cli.predict --model_type combined on the test split's audio dir
-     (re-extracts BOTH backbones through the fusion layout, classifies)
+  5. cli.predict --model_type combined over the FULL corpus dir (all 5,000
+     clips — train rows included deliberately, the point is re-extraction
+     throughput + store-contract round-trip, not held-out accuracy; both
+     backbones re-run through the fusion layout, then classify)
 
 Each stage runs the real CLI in a subprocess (what a user types), timed as
 whole-run wall clock INCLUDING first-touch compiles — the honest pipeline
 number, unlike bench.py's steady-state kernel number. Results land in
-artifacts/rehearsal_v2_r3.json.
+artifacts/rehearsal_v2_r4.json.
 
 Run on the real TPU:  python scripts/rehearsal_v2.py
 """
@@ -55,7 +57,7 @@ def main() -> None:
     ap.add_argument("--n_train", type=int, default=4000)
     ap.add_argument("--n_eval", type=int, default=500, help="per devel/test split")
     ap.add_argument("--max_dur", type=float, default=14.0)
-    ap.add_argument("--out", default=os.path.join(REPO, "artifacts", "rehearsal_v2_r3.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "artifacts", "rehearsal_v2_r4.json"))
     args = ap.parse_args()
 
     from stutter_tpu.audio.synthetic import make_synthetic_corpus
@@ -107,16 +109,24 @@ def main() -> None:
     clf = next((m for m in models if "combined_top" in m), models[0])
 
     pred_csv = os.path.join(args.root, "predictions.csv")
+    # --preset turbo matches the extraction stages (ADVICE r3: features the
+    # classifier was trained on). The whisper part of combined predict keeps
+    # its native 30 s chunk window (cli/predict.py per-part policy), matching
+    # extract_whisper above; --max_length 12 applies to the wavlm part only.
     run_cli("predict_combined", [
         "stutter_tpu.cli.predict", "--data_dir", corpus,
         "--classifier_model", clf, "--model_type", "combined",
-        "--output", pred_csv, "--random_init",
+        "--output", pred_csv, "--random_init", "--preset", "turbo",
         "--long_files", "chunk", "--max_length", "12",
     ], timings)
 
     import pandas as pd
 
     preds = pd.read_csv(pred_csv)
+    # sanity BEFORE the artifact is written (ADVICE r3): every corpus row got
+    # a prediction — decode failures would drop rows silently otherwise
+    n_dropped = len(meta) - len(preds)
+    assert n_dropped == 0, (len(preds), len(meta))
     extract_s = timings["extract_wavlm_s"] + timings["extract_whisper_s"]
     out = {
         "metric": "rehearsal_v2",
@@ -130,6 +140,7 @@ def main() -> None:
         "wavlm_whole_run_x_realtime": round(audio_s / timings["extract_wavlm_s"], 1),
         "whisper_whole_run_x_realtime": round(audio_s / timings["extract_whisper_s"], 1),
         "n_predictions": int(len(preds)),
+        "n_dropped_rows": n_dropped,
         "prediction_columns": list(preds.columns),
         "device": "TPU v5e via tunnel (whole-run incl. first-touch compiles)",
     }
@@ -137,8 +148,6 @@ def main() -> None:
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
-    # sanity: every corpus row got a prediction (decode failures would drop rows)
-    assert len(preds) == len(meta), (len(preds), len(meta))
 
 
 if __name__ == "__main__":

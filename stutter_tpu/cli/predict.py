@@ -141,12 +141,19 @@ def _extract_corpus(args, metadata: pd.DataFrame, out_root: str, logger) -> bool
     mesh = build_mesh(args)
     name = default_model_name(args.model_type, args.model_name)
     if args.model_type == "combined":
-        parts = [("wavlm", name), ("whisper", args.whisper_model_name)]
+        # per-part max_length: the whisper part keeps its native 30 s window
+        # (extract_whisper has no --max_length flag, so training-time whisper
+        # embeddings always chunked/trimmed at 30 s — predict must match or
+        # the classifier sees differently-windowed whisper features; the
+        # model pads to 30 s on device anyway, so a shorter window only
+        # multiplies forwards). --max_length governs the wavlm part.
+        parts = [("wavlm", name, args.max_length),
+                 ("whisper", args.whisper_model_name, None)]
     else:
-        parts = [(args.model_type, name)]
+        parts = [(args.model_type, name, args.max_length)]
 
     splits = [s for s in metadata["split"].unique() if isinstance(s, str)]
-    for part_type, part_name in parts:
+    for part_type, part_name, part_max_len in parts:
         extractor = build_extractor_for(part_type, part_name, args.random_init,
                                         mesh, args.preset)
         if extractor is None:
@@ -154,7 +161,7 @@ def _extract_corpus(args, metadata: pd.DataFrame, out_root: str, logger) -> bool
             return False
         batcher = make_bucket_batcher(
             extractor, mesh, audio_budget_s=args.audio_budget,
-            max_batch=args.batch_size, max_length_s=args.max_length,
+            max_batch=args.batch_size, max_length_s=part_max_len,
         )
         pipe = ExtractionPipeline(extractor, batcher=batcher,
                                   long_file_policy=args.long_files)

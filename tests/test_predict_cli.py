@@ -157,6 +157,49 @@ def test_predict_combined_from_audio(tmp_path, monkeypatch):
     assert set(out["predicted_label"]) <= set(CLASS_NAMES)
 
 
+def test_predict_combined_max_length_is_per_part(tmp_path, monkeypatch):
+    """--max_length trims only the WavLM part of 'combined'; the whisper part
+    keeps its native 30 s window so predict-time whisper features match the
+    training-time extraction (extract_whisper has no --max_length flag)."""
+    from stutter_tpu.models import WavLMConfig, WhisperConfig
+
+    monkeypatch.setattr(
+        WavLMConfig, "base", staticmethod(lambda: WavLMConfig.tiny(32, 2, 4))
+    )
+    monkeypatch.setattr(
+        WhisperConfig, "base",
+        staticmethod(lambda: WhisperConfig.tiny(d_model=32, layers=2, heads=4)),
+    )
+    import stutter_tpu.cli.common as cli_common
+    from stutter_tpu.cli.predict import main
+
+    seen = []  # (extractor_kind, max_length_s) per part
+    real = cli_common.make_bucket_batcher
+
+    def spy(extractor, mesh, **kw):
+        seen.append((type(extractor).__name__, kw.get("max_length_s")))
+        return real(extractor, mesh, **kw)
+
+    monkeypatch.setattr(cli_common, "make_bucket_batcher", spy)
+
+    root = str(tmp_path / "corpus")
+    make_synthetic_corpus(root, n_per_split={"train": 2}, seed=5)
+    model_path = _make_artifact(str(tmp_path / "clf"), "combined_top", 64)
+    rc = main([
+        "--audio_dir", os.path.join(root, "wav"),
+        "--classifier_model", model_path,
+        "--model_type", "combined",
+        "--model_name", "microsoft/wavlm-base",
+        "--whisper_model_name", "openai/whisper-base",
+        "--random_init", "--output", str(tmp_path / "pred.csv"),
+        "--audio_budget", "16", "--max_length", "2",
+    ])
+    assert rc == 0
+    by_kind = dict(seen)
+    assert by_kind["WavLMExtractor"] == 2.0
+    assert by_kind["WhisperExtractor"] is None
+
+
 def test_predict_reused_store_ignores_stale_splits(tmp_path, monkeypatch):
     """A reused --keep_embeddings_dir holding an earlier corpus's split dirs
     must not leak those rows into this run's predictions: only the splits the
