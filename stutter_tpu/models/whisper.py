@@ -177,6 +177,69 @@ def _attention(q_in, kv_in, p, prefix, num_heads, precision, causal=False,
             + p[f"{prefix}_o_b"]).astype(q_in.dtype)
 
 
+def _cross_attention_1q(q_in, enc_h, p, num_heads, precision):
+    """Single-query cross-attention with the K/V projections reassociated.
+
+    The decoder-embedding path runs exactly ONE query token over the [B, L, D]
+    encoder state (whisper_embeddings_large.py:257-262). Projecting K and V
+    from the full encoder state costs 2·L·D² FLOPs per layer — at L=1500,
+    D=1280 that is ~315 GFLOP/clip across 32 layers, ~14% of the whole
+    encoder (the measured extract-vs-encoder throughput gap). For one query
+    the matmuls reassociate exactly:
+
+        softmax((q·Wk_h)·encᵀ)              ==  softmax(q·(enc·Wk_h)ᵀ)
+        (probs·enc)·Wv_h + bv_h             ==  probs·(enc·Wv_h + bv)
+
+    (k_proj is bias-free in Whisper; softmax rows sum to 1, so the v-bias
+    commutes out of the pooling). Both [L, D] @ [D, D] GEMMs become
+    [1, D] @ [D, d] weight-side products plus two O(L·D·H) reductions —
+    ~1000× fewer FLOPs, bitwise-equivalent up to matmul reassociation
+    (bounded well under the 1e-3 fidelity bar by the golden tests).
+
+    The head-side products (q̃, Wv fold) run in f32 — they are tiny — while
+    the two [L, D]-wide einsums keep the activation dtype with f32
+    accumulation, matching the einsum path's numerics profile.
+    """
+    B, Lq, D = q_in.shape
+    assert Lq == 1, Lq
+    hd = D // num_heads
+    scale = hd**-0.5
+
+    def wmat(w):
+        # the turbo preset never quantizes the decoder (fidelity policy in
+        # extract/pipeline.cast_params_for_preset), but dequantize rather
+        # than mis-dispatch if a future preset does — at 1 token the [D, D]
+        # dequant is noise
+        if isinstance(w, dict):
+            return w["q"].astype(jnp.float32) * w["s"]
+        return w.astype(jnp.float32)
+
+    q = jnp.einsum("bqd,de->bqe", q_in.astype(jnp.float32), wmat(p["xattn_q_w"]),
+                   precision=precision)
+    q = (q + p["xattn_q_b"].astype(jnp.float32)) * scale
+    qh = q.reshape(B, num_heads, hd)
+    wk = wmat(p["xattn_k_w"]).reshape(D, num_heads, hd)
+    # q̃[b,h,:] = q_h·Wk_hᵀ — fold the key projection into the query
+    qt = jnp.einsum("bhd,Dhd->bhD", qh, wk, precision=precision)
+    logits = jnp.einsum(
+        "bhD,blD->bhl", qt.astype(enc_h.dtype), enc_h,
+        precision=precision, preferred_element_type=jnp.float32,
+    )
+    probs = jax.nn.softmax(logits, axis=-1)
+    ctx = jnp.einsum(
+        "bhl,blD->bhD", probs.astype(enc_h.dtype), enc_h,
+        precision=precision, preferred_element_type=jnp.float32,
+    )
+    wv = wmat(p["xattn_v_w"]).reshape(D, num_heads, hd)
+    out = jnp.einsum("bhD,Dhd->bhd", ctx, wv, precision=precision)
+    out = out + p["xattn_v_b"].astype(jnp.float32).reshape(num_heads, hd)[None]
+    out = out.reshape(B, 1, D).astype(q_in.dtype)
+    from stutter_tpu.ops.quant import dense as qdense
+
+    return (qdense(out, p["xattn_o_w"], precision)
+            + p["xattn_o_b"]).astype(q_in.dtype)
+
+
 def _ffn(x, p, precision):
     from stutter_tpu.ops.quant import dense as qdense
 
@@ -274,8 +337,11 @@ def whisper_decoder_step(
     Replicates the reference's ``decoder(input_ids=zeros((1,1)))`` call
     (whisper_embeddings_large.py:257-262): token embedding + learned
     position 0, then self-attention over the single token and cross-attention
-    over the 1500 encoder frames. Returns (last_hidden [B, 1, D],
-    all_hidden [N+1, B, 1, D]).
+    over the 1500 encoder frames. Cross-attention uses the single-query
+    reassociated form (_cross_attention_1q) — the full-width K/V projections
+    that made this step cost ~14% of the encoder collapse to O(L·D·H) work,
+    so extraction runs at ~encoder throughput. Returns
+    (last_hidden [B, 1, D], all_hidden [N+1, B, 1, D]).
     """
     dec = params["decoder"]
     B = encoder_hidden.shape[0]
@@ -291,7 +357,7 @@ def whisper_decoder_step(
         h = _layer_norm(carry, layer["ln1_s"], layer["ln1_b"], eps)
         new = carry + _attention(h, h, layer, "attn", nh, precision, causal=True)
         h = _layer_norm(new, layer["ln2_s"], layer["ln2_b"], eps)
-        new = new + _attention(h, enc_h, layer, "xattn", nh, precision)
+        new = new + _cross_attention_1q(h, enc_h, layer, nh, precision)
         h = _layer_norm(new, layer["ln3_s"], layer["ln3_b"], eps)
         out = (new + _ffn(h, layer, precision)).astype(carry.dtype)
         return out, carry  # yield layer INPUT (HF hidden_states[i])

@@ -104,3 +104,40 @@ def test_sinusoids_match_hf_init():
     # torch computes sin/cos in float32; argument reduction at position ~1500
     # differs from numpy float64 by up to ~1e-4.
     np.testing.assert_allclose(ours, theirs, atol=5e-4)
+
+
+def test_cross_attention_1q_matches_general_attention():
+    """The reassociated single-query cross-attention == the einsum MHA.
+
+    whisper_decoder_step folds the K/V projections into the query side
+    (models/whisper.py:_cross_attention_1q) — mathematically identical up to
+    matmul reassociation; pin the equivalence directly against the general
+    _attention path on the same params (f32/HIGHEST: tight; bf16: loose)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stutter_tpu.models.whisper import _attention, _cross_attention_1q
+
+    rng = np.random.RandomState(3)
+    B, L, D, H = 3, 96, 64, 4
+    p = {}
+    for n in ("q", "k", "v", "o"):
+        p[f"xattn_{n}_w"] = jnp.asarray(rng.randn(D, D).astype(np.float32) * D**-0.5)
+        p[f"xattn_{n}_b"] = jnp.asarray(rng.randn(D).astype(np.float32) * 0.1)
+
+    q_in = jnp.asarray((rng.randn(B, 1, D) * 0.5).astype(np.float32))
+    enc = jnp.asarray((rng.randn(B, L, D) * 0.5).astype(np.float32))
+
+    hi = jax.lax.Precision.HIGHEST
+    ref = np.asarray(_attention(q_in, enc, p, "xattn", H, hi))
+    got = np.asarray(_cross_attention_1q(q_in, enc, p, H, hi))
+    np.testing.assert_allclose(got, ref, atol=2e-6, rtol=1e-5)
+
+    de = jax.lax.Precision.DEFAULT
+    ref16 = np.asarray(
+        _attention(q_in.astype(jnp.bfloat16), enc.astype(jnp.bfloat16),
+                   p, "xattn", H, de), np.float32)
+    got16 = np.asarray(
+        _cross_attention_1q(q_in.astype(jnp.bfloat16), enc.astype(jnp.bfloat16),
+                            p, H, de), np.float32)
+    assert cosine_distance(got16, ref16) < 1e-3
