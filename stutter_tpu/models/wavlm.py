@@ -402,8 +402,11 @@ def gated_relpos_attention(
         # the flash-ab path must materialize never exists. Measured 30 s
         # bucket on v5e: 882 -> 1999 audio-s/s (2.27x, bench long_bucket
         # field), kernel-vs-einsum cosine 2.8e-7.
-        from stutter_tpu.ops.wavlm_attention_pallas import (
-            wavlm_fused_attention_long,
+        # the custom-VJP wrapper (ops/wavlm_attention_vjp) makes this branch
+        # differentiable — long-bucket fine-tune uses these kernels too; in
+        # inference programs the wrapper is the raw forward kernel verbatim
+        from stutter_tpu.ops.wavlm_attention_vjp import (
+            wavlm_attention_long_diff,
         )
 
         mask2 = (
@@ -425,8 +428,8 @@ def gated_relpos_attention(
             pb = jnp.pad(pb, ((0, 0), (0, pad), (0, pad)))
             g = jnp.pad(g, ((0, 0), (0, 0), (0, pad)))
             mask2 = jnp.pad(mask2, ((0, 0), (0, pad)), constant_values=-1e9)
-        out = wavlm_fused_attention_long(qq, kk, vv, pb, g, mask2,
-                                         block_q=BQ)[:, :, :L]
+        out = wavlm_attention_long_diff(qq, kk, vv, pb, g, mask2,
+                                        block_q=BQ)[:, :, :L]
     elif use_kernels and L >= 512 and hd >= 64:
         # escape hatch: the stock flash kernel with a materialized ab
         ab = gated_bias()
@@ -620,6 +623,7 @@ def wavlm_forward(
     f32_attention_softmax: bool = False,
     use_fused_stem: bool = False,
     remat_layers: bool | str = False,
+    stop_stem_gradient: bool = False,
 ):
     """Full WavLM forward with all hidden states (WavLMModel.forward parity).
 
@@ -660,6 +664,15 @@ def wavlm_forward(
             stem, waveform, cfg, precision,
             sample_lengths=sample_lengths, compute_dtype=activation_dtype,
         )
+    if stop_stem_gradient:
+        # Structural stem freeze (fine-tune with freeze_feature_encoder):
+        # zeroing stem grads in the optimizer still makes value_and_grad
+        # BUILD the whole conv-stem backward (transposed convs over the
+        # ~50 kHz-sample activations) only to discard it. stop_gradient
+        # makes the stem param grads structurally zero, so XLA prunes that
+        # backward from the step program. Mathematically identical when the
+        # optimizer labels the stem frozen (train/finetune.make_optimizer).
+        feats = jax.lax.stop_gradient(feats)
     feats = layer_norm(feats, params["feature_projection"]["ln"], cfg.layer_norm_eps)
     hidden = (
         jnp.einsum(

@@ -13,6 +13,7 @@ under one jit over the DP(xTP) mesh.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -68,6 +69,20 @@ class FinetuneConfig:
     # rounding on a momentum average is far below gradient noise (nu stays
     # f32 — it is divided by, so its precision sets the step scale)
     mu_dtype: Any = jnp.bfloat16
+    # lax.scan unroll factor for the gradient-accumulation microbatch loop:
+    # >1 lets XLA fuse the f32 grad-tree adds into the backward epilogues at
+    # the cost of a K-times-larger step program (the remote compile service
+    # is the binding constraint there, DESIGN.md §6b)
+    accum_unroll: int = 1
+    # long-bucket (L >= 512) attention kernels in the TRAINING step: the
+    # fused gated-bias kernel now has a flash-style custom VJP
+    # (ops/wavlm_attention_vjp), so >=12 s clips no longer pay the einsum
+    # path's [B, H, L, L] HBM chain under jax.grad. None = auto: on for
+    # single-device runs, off under a mesh (a pallas_call has no GSPMD
+    # partition rule — it would force its DP-sharded operands replicated;
+    # FinetuneTrainer resolves this at construction). Short buckets are
+    # unaffected either way (einsum path, chosen by L at trace time).
+    use_flash_attention: bool | None = None
     seed: int = 0
 
 
@@ -119,6 +134,13 @@ def finetune_forward(
     if train and rng is not None and cfg.model.apply_spec_augment:
         rng, sa_rng = jax.random.split(rng)
     fwd = wavlm_forward
+    if cfg.freeze_feature_encoder or cfg.freeze_backbone:
+        # Structural freeze of the conv stem (same reasoning as the
+        # freeze_backbone stop_gradient below): the optimizer already labels
+        # the stem frozen, so stopping the gradient at the stem output lets
+        # XLA prune the transposed-conv backward over the ~50 kHz-sample
+        # activations from the step program entirely.
+        fwd = functools.partial(wavlm_forward, stop_stem_gradient=True)
     remat_layers: bool | str = False
     if cfg.remat_encoder and cfg.remat_policy.startswith("layer"):
         # per-layer checkpoint variants (see FinetuneConfig.remat_policy)
@@ -126,7 +148,7 @@ def finetune_forward(
                         "layer_probs": "save_but_probs"}[cfg.remat_policy]
     if cfg.remat_encoder and not remat_layers:
         fwd = jax.checkpoint(
-            wavlm_forward,
+            fwd,
             # cfg, precision, activation_dtype, hidden_reducer, use_flash,
             # f32_attention_softmax
             static_argnums=(2, 4, 5, 7, 8, 9),
@@ -134,11 +156,12 @@ def finetune_forward(
                     if cfg.remat_policy == "dots"
                     else jax.checkpoint_policies.nothing_saveable),
         )
-    # use_flash=False: the training path must stay differentiable — the
-    # long-bucket (L>=512) attention kernels are raw pallas_calls with no
-    # VJP, so a >=10.5 s bucket under jax.grad would otherwise fail to
-    # trace (caught by self-review; the einsum path is grad-safe and the
-    # numerics are identical). Eval shares the flag so train==eval numerics.
+    # use_flash (cfg.use_flash_attention, None->True here): the long-bucket
+    # (L>=512) fused attention kernel is differentiable via its custom VJP
+    # (ops/wavlm_attention_vjp — gradient-equivalence-tested against the
+    # einsum path); its in-kernel softmax runs in f32, matching the training
+    # softmax policy below. Short buckets dispatch to the einsum path by L
+    # at trace time either way. Eval shares the flag so train==eval numerics.
     # f32_attention_softmax=True: the extraction-tuned bf16 logits/bias/
     # softmax shortcut (-6 ms/batch, validated on INFERENCE fidelity only)
     # must not set gradient numerics — training keeps the f32 attention
@@ -158,9 +181,11 @@ def finetune_forward(
         return masked_mean_pool(h, frame_lengths)  # [B, D] f32, mask-aware
 
     kw = {"remat_layers": remat_layers} if remat_layers else {}
+    use_flash = (cfg.use_flash_attention
+                 if cfg.use_flash_attention is not None else True)
     _, pooled_states, _ = fwd(
         backbone, x, cfg.model, lengths,
-        cfg.precision, cfg.activation_dtype, sa_rng, reducer, False, True,
+        cfg.precision, cfg.activation_dtype, sa_rng, reducer, use_flash, True,
         **kw,
     )
     if cfg.freeze_backbone:
@@ -253,6 +278,21 @@ def _make_accum_train_step(cfg: FinetuneConfig, tx: optax.GradientTransformation
         # waves [K, B, T], lengths/labels/valid [K, B]
         keys = jax.random.split(key, grad_accum)
 
+        fwd_params = params
+        if cfg.cast_params and cfg.activation_dtype != jnp.float32:
+            # Hoist the mixed-precision cast OUT of the microbatch scan: one
+            # f32->bf16 backbone cast per STEP instead of one per microbatch
+            # (finetune_forward's own cast then no-ops on the already-bf16
+            # leaves). Differentiating w.r.t. the cast tree gives bf16 grads
+            # whose f32 accumulation below is EXACTLY what the in-scan cast's
+            # transpose produced (astype to f32, then add) — identical
+            # numerics, minus (K-1) x ~1.9 GB of cast HBM traffic per step.
+            fwd_params = {**params, "backbone": jax.tree.map(
+                lambda p: p.astype(cfg.activation_dtype)
+                if p.dtype == jnp.float32 else p,
+                params["backbone"],
+            )}
+
         def loss_sums(p, w, l, y, v, kk):
             logits = finetune_forward(p, w, l, cfg, train=True, rng=kk)
             loss_sum, w_sum = weighted_xent_sums(logits, y, class_weights, valid=v)
@@ -263,19 +303,22 @@ def _make_accum_train_step(cfg: FinetuneConfig, tx: optax.GradientTransformation
         def micro(carry, xs):
             g_acc, ls_acc, ws_acc, hit_acc, n_acc = carry
             w, l, y, v, kk = xs
-            (ls, (ws, logits)), g = grad_fn(params, w, l, y, v, kk)
+            (ls, (ws, logits)), g = grad_fn(fwd_params, w, l, y, v, kk)
             vf = v.astype(jnp.float32)
             hits = jnp.sum((jnp.argmax(logits, -1) == y).astype(jnp.float32) * vf)
             return (
-                jax.tree.map(jnp.add, g_acc, g),
+                jax.tree.map(lambda a, b: a + b.astype(a.dtype), g_acc, g),
                 ls_acc + ls, ws_acc + ws, hit_acc + hits, n_acc + jnp.sum(vf),
             ), None
 
         zero = jnp.zeros((), jnp.float32)
+        # f32 accumulators shaped like the MASTER params (grads from the cast
+        # tree arrive bf16 and are upcast in the add above)
         g0 = jax.tree.map(lambda x: jnp.zeros(x.shape, x.dtype), params)
         (g_sum, loss_sum, w_sum, hits, n_valid), _ = jax.lax.scan(
             micro, (g0, zero, zero, zero, zero),
             (waves, lengths, labels, valid, keys),
+            unroll=cfg.accum_unroll,
         )
         # normalize the SUMMED grads by the total weight mass once — exactly
         # the gradient of the K·B-batch weighted mean
@@ -304,6 +347,11 @@ class FinetuneTrainer:
                  grad_accum: int = 1):
         from stutter_tpu.parallel.mesh import replicate
 
+        if cfg.use_flash_attention is None:
+            # auto: fused long-attention kernels only off-mesh (a pallas_call
+            # has no GSPMD partition rule — under the DP(xTP) mesh it would
+            # force its sharded operands replicated)
+            cfg = dataclasses.replace(cfg, use_flash_attention=mesh is None)
         self.cfg = cfg
         self.mesh = mesh
         self.grad_accum = int(grad_accum)

@@ -1,0 +1,92 @@
+"""Gradient equivalence of the fused long-attention custom VJP.
+
+Pins ops/wavlm_attention_vjp against a pure-jnp reference of the same math
+(the einsum path's numerics) — value AND all five gradients (q, k, v,
+position_bias, gate). Interpret mode on CPU; the real-TPU kernel is driven
+by scripts/bench_finetune.py and the long-bucket fine-tune path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stutter_tpu.ops.wavlm_attention_vjp import wavlm_attention_long_diff
+
+
+def _reference(q, k, v, pb, gate, mask):
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        precision=jax.lax.Precision.HIGHEST)
+    logits = logits + gate[..., None] * pb[None] + mask[:, None, None, :]
+    attn = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _rand_inputs(B=2, H=2, L=256, d=64, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((B, H, L, d)), jnp.float32) * 0.3
+    k = jnp.asarray(rng.standard_normal((B, H, L, d)), jnp.float32) * 0.3
+    v = jnp.asarray(rng.standard_normal((B, H, L, d)), jnp.float32)
+    pb = jnp.asarray(rng.standard_normal((H, L, L)), jnp.float32)
+    gate = jnp.asarray(rng.uniform(0.5, 2.0, (B, H, L)), jnp.float32)
+    mask = np.zeros((B, L), np.float32)
+    mask[0, L - 37:] = -1e9  # one partially padded row
+    return q, k, v, pb, gate, jnp.asarray(mask)
+
+
+def test_forward_matches_reference():
+    args = _rand_inputs()
+    out = wavlm_attention_long_diff(*args, block_q=128, interpret=True)
+    ref = _reference(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_gradients_match_reference():
+    args = _rand_inputs(seed=1)
+    cot = jnp.asarray(
+        np.random.default_rng(9).standard_normal(args[0].shape), jnp.float32)
+
+    def loss_fused(q, k, v, pb, gate, mask):
+        out = wavlm_attention_long_diff(q, k, v, pb, gate, mask,
+                                        block_q=128, interpret=True)
+        return jnp.sum(out * cot)
+
+    def loss_ref(q, k, v, pb, gate, mask):
+        return jnp.sum(_reference(q, k, v, pb, gate, mask) * cot)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(*args)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
+    for name, a, b in zip("q k v pb gate".split(), g_fused, g_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = max(1e-6, float(np.abs(b).max()))
+        np.testing.assert_allclose(a, b, rtol=3e-5, atol=3e-5 * denom,
+                                   err_msg=f"grad mismatch: {name}")
+
+
+def test_gradients_under_checkpoint_and_uneven_block():
+    # L=384 forces the backward's block halving (384 % 256 != 0 -> BQ=128)
+    # and jax.checkpoint exercises the remat path fine-tuning uses.
+    args = _rand_inputs(B=1, H=2, L=384, d=64, seed=2)
+    cot = jnp.asarray(
+        np.random.default_rng(3).standard_normal(args[0].shape), jnp.float32)
+
+    @jax.checkpoint
+    def loss_fused(q, k, v, pb, gate, mask):
+        out = wavlm_attention_long_diff(q, k, v, pb, gate, mask,
+                                        block_q=384, interpret=True)
+        return jnp.sum(out * cot)
+
+    def loss_ref(q, k, v, pb, gate, mask):
+        return jnp.sum(_reference(q, k, v, pb, gate, mask) * cot)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 3, 4))(*args)
+    g_ref = jax.grad(loss_ref, argnums=(0, 3, 4))(*args)
+    for name, a, b in zip("q pb gate".split(), g_fused, g_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = max(1e-6, float(np.abs(b).max()))
+        np.testing.assert_allclose(a, b, rtol=3e-5, atol=3e-5 * denom,
+                                   err_msg=f"grad mismatch: {name}")
