@@ -11,7 +11,12 @@ def corpus(tmp_path_factory):
     from stutter_tpu.audio.synthetic import make_synthetic_corpus
 
     root = str(tmp_path_factory.mktemp("corpus"))
-    make_synthetic_corpus(root, n_per_split={"train": 10, "test": 4, "devel": 4}, seed=5)
+    # short clips on purpose: the monkeypatched tiny stem downsamples 20x,
+    # so CPU attention cost scales with (20 * duration)^2 — 0.9 s clips keep
+    # L <= 720 where the old (0.5, 3.0) range meant L up to 2400 and made
+    # the finetune CLI smokes the slowest tests in the suite
+    make_synthetic_corpus(root, n_per_split={"train": 10, "test": 4, "devel": 4},
+                          seed=5, duration_range=(0.3, 0.9))
     return root
 
 
@@ -146,7 +151,7 @@ def test_finetune_cli(corpus, tmp_path, monkeypatch):
     rc = main([
         "--data_dir", corpus, "--results_dir", results,
         "--model_name", "microsoft/wavlm-base", "--random_init",
-        "--epochs", "1", "--batch_size", "8", "--max_length", "4.0",
+        "--epochs", "1", "--batch_size", "8", "--max_length", "1.0",
         "--devices", "2",
     ])
     assert rc == 0
@@ -172,7 +177,7 @@ def test_finetune_cli_grad_accum(corpus, tmp_path, monkeypatch):
     rc = main([
         "--data_dir", corpus, "--results_dir", results,
         "--model_name", "microsoft/wavlm-base", "--random_init",
-        "--epochs", "1", "--batch_size", "4", "--max_length", "4.0",
+        "--epochs", "1", "--batch_size", "4", "--max_length", "1.0",
         "--devices", "1", "--grad_accum", "2", "--no_remat",
     ])
     assert rc == 0
@@ -195,7 +200,7 @@ def test_finetune_cli_checkpoint_resume(corpus, tmp_path, monkeypatch):
     common = [
         "--data_dir", corpus, "--results_dir", results,
         "--model_name", "microsoft/wavlm-base", "--random_init",
-        "--batch_size", "4", "--max_length", "4.0",
+        "--batch_size", "4", "--max_length", "1.0",
         "--devices", "1", "--grad_accum", "2", "--no_remat",
         "--checkpoint_dir", ckpt,
     ]

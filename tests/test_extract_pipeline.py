@@ -22,7 +22,10 @@ from stutter_tpu.extract import (
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("corpus"))
-    truth = make_synthetic_corpus(root, n_per_split={"train": 8, "test": 4, "devel": 4})
+    # clip lengths sized in FRAMES for the tiny 20x stem (0.3-1.8 s -> L<=1440
+    # on a 2 s bucket) while still spanning two rungs of the (1, 2, 4) ladder
+    truth = make_synthetic_corpus(root, n_per_split={"train": 8, "test": 4, "devel": 4},
+                                  duration_range=(0.3, 1.8))
     return root, truth
 
 
@@ -119,7 +122,7 @@ def test_pipeline_batched_equals_reference_loop(corpus, tiny_wavlm, tmp_path):
 
     pipe = ExtractionPipeline(
         WavLMExtractor(cfg, params),
-        batcher=BucketBatcher(buckets_s=(2.0, 4.0), audio_budget_s=16.0),
+        batcher=BucketBatcher(buckets_s=(1.0, 2.0), audio_budget_s=16.0),
     )
     df = pipe.run_split(meta, "devel", out_dir)
 
@@ -160,7 +163,7 @@ def test_checkpoint_resume(corpus, tiny_wavlm, tmp_path):
 
     pipe = ExtractionPipeline(
         WavLMExtractor(cfg, params),
-        batcher=BucketBatcher(buckets_s=(4.0,), audio_budget_s=64.0),
+        batcher=BucketBatcher(buckets_s=(2.0,), audio_budget_s=64.0),
         checkpoint_interval=100,
     )
     df = pipe.run_split(meta, "train", out_dir, resume=True)
@@ -182,7 +185,7 @@ def test_pipeline_skips_bad_files(corpus, tiny_wavlm, tmp_path):
 
     pipe = ExtractionPipeline(
         WavLMExtractor(cfg, params),
-        batcher=BucketBatcher(buckets_s=(4.0,), audio_budget_s=64.0),
+        batcher=BucketBatcher(buckets_s=(2.0,), audio_budget_s=64.0),
     )
     df = pipe.run_split(meta, "devel", str(tmp_path / "emb4"))
     assert len(df) == len(meta) - 1

@@ -17,7 +17,8 @@ from stutter_tpu.serve import EmbeddingServer, Request, jsonl_requests
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):
     root = tmp_path_factory.mktemp("serve_corpus")
-    make_synthetic_corpus(str(root), n_per_split={"train": 6})
+    make_synthetic_corpus(str(root), n_per_split={"train": 6},
+                          duration_range=(0.3, 0.9))  # frames-sized for the tiny 20x stem
     import glob
 
     return sorted(glob.glob(os.path.join(str(root), "wav", "*.wav")))

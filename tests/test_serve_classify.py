@@ -27,7 +27,8 @@ CLASS_NAMES = ["Block", "Fluent", "Prolongation"]
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):
     root = tmp_path_factory.mktemp("classify_corpus")
-    make_synthetic_corpus(str(root), n_per_split={"train": 4})
+    make_synthetic_corpus(str(root), n_per_split={"train": 4},
+                          duration_range=(0.3, 0.9))  # frames-sized for the tiny 20x stem
     return sorted(glob.glob(os.path.join(str(root), "wav", "*.wav")))
 
 

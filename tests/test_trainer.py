@@ -32,13 +32,17 @@ def store(tmp_path_factory, tiny_wavlm):
     cfg, params = tiny_wavlm
     root = str(tmp_path_factory.mktemp("corpus"))
     emb = str(tmp_path_factory.mktemp("emb"))
+    # clip lengths are chosen in FRAMES: the tiny stem downsamples 20x (not
+    # 320x), so a 4 s bucket means L=3200 einsum attention on the 1-core CPU
+    # host — this fixture alone cost 67 s of the suite at (0.5, 3.0)/4.0
     make_synthetic_corpus(
-        root, n_per_split={"train": 16, "test": 6, "devel": 6}, label_skew=0.55, seed=3
+        root, n_per_split={"train": 16, "test": 6, "devel": 6}, label_skew=0.55,
+        seed=3, duration_range=(0.3, 0.8),
     )
     meta = create_metadata_from_files(root, split="all")
     extractor = WavLMExtractor(cfg, params)
     ExtractionPipeline(
-        extractor, batcher=BucketBatcher(buckets_s=(4.0,), audio_budget_s=64.0)
+        extractor, batcher=BucketBatcher(buckets_s=(0.8,), audio_budget_s=64.0)
     ).run(meta, os.path.join(emb, "wavlm"))
     return emb, extractor
 
