@@ -30,10 +30,16 @@ def main() -> None:
                     choices=["wavlm", "wavlm_large", "whisper", "whisper_large_fixed"])
     ap.add_argument("--preset", default="turbo")
     ap.add_argument("--rate", type=float, default=100.0, help="requests/second")
+    ap.add_argument("--rates", type=str, default=None,
+                    help="comma-separated offered rates for a saturation "
+                         "sweep in ONE process (one warm-up, per-rate stats "
+                         "reset); overrides --rate")
     ap.add_argument("--n_requests", type=int, default=200)
     ap.add_argument("--max_wait_ms", type=float, default=25.0)
     ap.add_argument("--max_clips", type=int, default=64)
     ap.add_argument("--n_clips", type=int, default=40, help="distinct synthetic clips")
+    ap.add_argument("--out", type=str, default=None,
+                    help="also write the result JSON to this path")
     args = ap.parse_args()
 
     from stutter_tpu.audio.synthetic import make_synthetic_corpus
@@ -78,35 +84,61 @@ def main() -> None:
     rs = np.random.RandomState(0)
     order = rs.randint(0, len(paths), size=args.n_requests)
 
-    def paced():
-        start = time.monotonic()
-        for i in range(args.n_requests):
-            target = start + i / args.rate
-            now = time.monotonic()
-            if target > now:
-                time.sleep(target - now)
-            yield Request(str(i), paths[order[i]])
+    def measure_at(rate: float) -> dict:
+        def paced():
+            start = time.monotonic()
+            for i in range(args.n_requests):
+                target = start + i / rate
+                now = time.monotonic()
+                if target > now:
+                    time.sleep(target - now)
+                yield Request(str(i), paths[order[i]])
 
-    responses = []
-    t0 = time.monotonic()
-    server.serve(paced(), responses.append)
-    wall = time.monotonic() - t0
+        server.reset_stats()
+        responses = []
+        t0 = time.monotonic()
+        server.serve(paced(), responses.append)
+        wall = time.monotonic() - t0
+        s = server.stats()
+        return {
+            "offered_rate_rps": rate,
+            "achieved_rps": round(len(responses) / wall, 2),
+            "n_requests": args.n_requests,
+            "ok": sum(r.ok for r in responses),
+            "p50_ms": round(s.get("p50_s", 0) * 1e3, 2),
+            "p95_ms": round(s.get("p95_s", 0) * 1e3, 2),
+            "max_ms": round(s.get("max_s", 0) * 1e3, 2),
+            "rounds": s["rounds"],
+            # transport-independent serving cost (serve/server.stats):
+            # device+collect seconds per audio second actually served — a
+            # server/kernel regression moves this even when the tunnel RTT
+            # floors every latency percentile
+            "device_s_per_audio_s": s.get("device_s_per_audio_s"),
+            "audio_s_served": s.get("audio_s_served"),
+        }
 
-    s = server.stats()
-    ok = sum(r.ok for r in responses)
-    print(json.dumps({
-        "metric": "serving_latency",
+    rates = ([float(r) for r in args.rates.split(",")] if args.rates
+             else [args.rate])
+    loads = [measure_at(r) for r in rates]
+    # capacity = highest offered rate the server actually kept up with
+    # (achieved within 5% of offered and every request answered ok)
+    sustained = [l for l in loads
+                 if l["ok"] == l["n_requests"]
+                 and l["achieved_rps"] >= 0.95 * l["offered_rate_rps"]]
+    out = {
+        "metric": "serving_latency_sweep" if args.rates else "serving_latency",
         "model_type": args.model_type, "preset": args.preset,
-        "offered_rate_rps": args.rate,
-        "achieved_rps": round(len(responses) / wall, 2),
-        "n_requests": args.n_requests, "ok": ok,
-        "max_wait_ms": args.max_wait_ms,
-        "p50_ms": round(s.get("p50_s", 0) * 1e3, 2),
-        "p95_ms": round(s.get("p95_s", 0) * 1e3, 2),
-        "max_ms": round(s.get("max_s", 0) * 1e3, 2),
-        "rounds": s["rounds"],
+        "max_wait_ms": args.max_wait_ms, "max_clips": args.max_clips,
         "warmup_s": round(warm_s, 1),
-    }))
+        "capacity_rps": max((l["offered_rate_rps"] for l in sustained),
+                            default=0.0),
+        "loads": loads,
+    }
+    print(json.dumps(out))
+    if args.out:
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

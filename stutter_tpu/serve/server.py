@@ -104,18 +104,32 @@ class EmbeddingServer:
         self._served = 0
         self._failed = 0
         self._rounds = 0
+        # device-side accounting: time blocked in extractor.collect() plus
+        # the chunked-path calls, and the audio-seconds they produced. The
+        # end-to-end request latency is floored by whatever sits between
+        # host and device (the dev tunnel adds ~1 s RTT), so p50/p95 alone
+        # can't tell a server regression from transport noise —
+        # device_s_per_audio_s can: it is pure serving-loop + device cost
+        # per unit of work, independent of request pacing.
+        self._collect_s = 0.0
+        self._audio_s = 0.0
 
     def reset_stats(self) -> None:
         """Zero the counters (e.g. after compile warm-up, before measuring)."""
         self._latencies.clear()
         self._served, self._failed, self._rounds = 0, 0, 0
+        self._collect_s, self._audio_s = 0.0, 0.0
 
     def stats(self) -> dict:
         """Volume counters since startup; latency percentiles over the most
         recent 100k requests (seconds)."""
         lat = np.asarray(self._latencies, np.float64)
         out = {"served": self._served, "failed": self._failed,
-               "rounds": self._rounds}
+               "rounds": self._rounds,
+               "device_collect_s": round(self._collect_s, 3),
+               "audio_s_served": round(self._audio_s, 2)}
+        if self._audio_s > 0:
+            out["device_s_per_audio_s"] = round(self._collect_s / self._audio_s, 4)
         if len(lat):
             out.update(
                 p50_s=float(np.percentile(lat, 50)),
@@ -179,7 +193,11 @@ class EmbeddingServer:
             try:
                 if batch is None:
                     raise handle
+                t_c = time.monotonic()
                 cols = self.extractor.collect(handle)
+                self._collect_s += time.monotonic() - t_c
+                self._audio_s += (float(np.sum(batch.lengths[batch.ok]))
+                                  / float(batch.sample_rate))
             except Exception as e:  # noqa: BLE001
                 logger.exception("batch failed")
                 for req in chunk_reqs:
@@ -216,7 +234,11 @@ class EmbeddingServer:
             try:
                 from stutter_tpu.extract.pipeline import chunked_embeddings
 
+                t_c = time.monotonic()
                 res = chunked_embeddings(self.extractor, self.batcher, req.path)
+                self._collect_s += time.monotonic() - t_c
+                if res is not None:
+                    self._audio_s += res[2]
             except Exception as e:  # noqa: BLE001 — one bad clip must not kill the round
                 logger.exception("chunked extraction failed for %s", req.path)
                 emit(Response(req.req_id, req.path, False, None,

@@ -47,6 +47,10 @@ def test_server_serves_all_requests(corpus, extractor):
         for col, vec in r.embeddings.items():
             assert vec.shape == (extractor.embedding_dim,)
             assert np.isfinite(vec).all()
+    # device-side accounting (the transport-independent regression signal)
+    s = server.stats()
+    assert s["audio_s_served"] > 0 and s["device_collect_s"] > 0
+    assert s["device_s_per_audio_s"] > 0
 
 
 def test_server_reports_decode_failures(corpus, extractor, tmp_path):
