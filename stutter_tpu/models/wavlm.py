@@ -417,8 +417,12 @@ def gated_relpos_attention(
         # block choice: smallest padded length wins (padded keys are real
         # compute); on ties take the bigger block (512 measured ~5% faster
         # than 256 at L=1536 — scripts/sweep_long_attn_block.py; 768 OOMs
-        # scoped VMEM)
+        # scoped VMEM). STUTTER_TPU_LONG_ATTENTION_BLOCK forces a size for
+        # end-to-end A/B retunes (isolated-kernel timings through the tunnel
+        # carry ~30 ms relay noise, so only full-program sweeps decide).
         BQ = min((512, 256), key=lambda b: (((L + b - 1) // b) * b, -b))
+        if os.environ.get("STUTTER_TPU_LONG_ATTENTION_BLOCK"):
+            BQ = int(os.environ["STUTTER_TPU_LONG_ATTENTION_BLOCK"])
         Lp = ((L + BQ - 1) // BQ) * BQ
         pb, g, qq, kk, vv = position_bias.astype(jnp.float32), gate, q * scale, k, v
         if Lp != L:
