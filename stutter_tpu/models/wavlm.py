@@ -448,17 +448,22 @@ def gated_relpos_attention(
     ):
         # short buckets: fused kernel (ops/wavlm_attention_pallas.py). Wins
         # in isolation (2.85 vs 3.38 ms at B=128/L=144) but loses end-to-end
-        # (XLA fuses the einsum logits with neighbors across the attention
-        # boundary; the pallas_call blocks that) — so opt-in only.
-
-        from stutter_tpu.ops.wavlm_attention_pallas import wavlm_fused_attention
+        # for EXTRACTION (XLA fuses the einsum logits with neighbors across
+        # the attention boundary; the pallas_call blocks that) — so opt-in
+        # only. Differentiable via the custom VJP (ops/wavlm_attention_vjp):
+        # under per-layer remat the [BB, L, L] probs chain stays in VMEM in
+        # both directions, the training-side case the extraction measurement
+        # above does not cover (A/B: scripts/bench_finetune.py).
+        from stutter_tpu.ops.wavlm_attention_vjp import (
+            wavlm_attention_short_diff,
+        )
 
         mask2 = (
             key_mask_bias[:, 0, 0, :]
             if key_mask_bias is not None
             else jnp.zeros((B, L), jnp.float32)
         )
-        out = wavlm_fused_attention(
+        out = wavlm_attention_short_diff(
             q * scale, k, v, position_bias.astype(jnp.float32), gate, mask2
         )
     elif x.dtype == jnp.bfloat16 and not f32_softmax:

@@ -129,6 +129,131 @@ def _bwd_dbias_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, mask_ref,
         dbias_ref[0] += db_blk
 
 
+def _bwd_short_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, mask_ref,
+                      do_ref, dsum_ref,
+                      dq_ref, dk_ref, dv_ref, dgate_ref, dbias_ref):
+    bblk = pl.program_id(1)  # innermost: batch-block (dbias accumulates here)
+    q = q_ref[:, 0]   # [BB, L, d]
+    k = k_ref[:, 0]
+    v = v_ref[:, 0]
+    do = do_ref[:, 0]
+    bias = bias_ref[0]  # [L, L] f32 (batch-shared, per head)
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # [BB, L, L]
+    gate = gate_ref[:, 0]  # [BB, L, 1]
+    p = s + gate * bias[None] + mask_ref[:, 0][:, None, :]
+    p_max = jnp.max(p, axis=-1, keepdims=True)
+    e = jnp.exp(p - p_max)
+    a = e / jnp.sum(e, axis=-1, keepdims=True)
+    da = jax.lax.dot_general(
+        do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    dp = a * (da - dsum_ref[:, 0])  # [BB, L, L] f32
+    dpc = dp.astype(q.dtype)
+    dq_ref[:, 0] = jax.lax.dot_general(
+        dpc, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+    dk_ref[:, 0] = jax.lax.dot_general(
+        dpc, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ).astype(dk_ref.dtype)
+    dv_ref[:, 0] = jax.lax.dot_general(
+        a.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+    dgate_ref[:, 0] = jnp.sum(dp * bias[None], axis=-1, keepdims=True).astype(
+        dgate_ref.dtype)
+    db_blk = jnp.sum(gate * dp, axis=0)  # [L, L]
+
+    @pl.when(bblk == 0)
+    def _init():
+        dbias_ref[0] = db_blk
+
+    @pl.when(bblk != 0)
+    def _acc():
+        dbias_ref[0] += db_blk
+
+
+def _attention_short_fwd(q, k, v, position_bias, gate, key_mask_bias,
+                         interpret):
+    from stutter_tpu.ops.wavlm_attention_pallas import wavlm_fused_attention
+
+    out = wavlm_fused_attention(q, k, v, position_bias, gate, key_mask_bias,
+                                interpret=interpret)
+    return out, (q, k, v, position_bias, gate, key_mask_bias, out)
+
+
+def _attention_short_bwd(interpret, res, do):
+    q, k, v, position_bias, gate, key_mask_bias, out = res
+    B, H, L, d = q.shape
+    BB = 16 if B % 16 == 0 else (8 if B % 8 == 0 else 1)  # mirror the forward
+    dsum = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
+                   keepdims=True)
+    gate4 = gate[..., None]
+    mask3 = key_mask_bias[:, None, :]
+    pb = position_bias.astype(jnp.float32)
+    qkv_spec = pl.BlockSpec((BB, 1, L, d), lambda h, b: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((BB, 1, L, 1), lambda h, b: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((1, L, L), lambda h, b: (h, 0, 0),
+                             memory_space=pltpu.VMEM)
+    dq, dk, dv, dgate4, dbias = pl.pallas_call(
+        _bwd_short_kernel,
+        grid=(H, B // BB),  # b innermost -> the dbias block accumulates
+        in_specs=[
+            qkv_spec, qkv_spec, qkv_spec, bias_spec, vec_spec,
+            pl.BlockSpec((BB, 1, L), lambda h, b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            qkv_spec, vec_spec,
+        ],
+        out_specs=[qkv_spec, qkv_spec, qkv_spec, vec_spec, bias_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, L, d), q.dtype),
+            jax.ShapeDtypeStruct((B, H, L, d), k.dtype),
+            jax.ShapeDtypeStruct((B, H, L, d), v.dtype),
+            jax.ShapeDtypeStruct((B, H, L, 1), jnp.float32),
+            jax.ShapeDtypeStruct((H, L, L), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, pb, gate4, mask3, do, dsum)
+    return (dq, dk, dv, dbias.astype(position_bias.dtype),
+            dgate4[..., 0].astype(gate.dtype), None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _attention_short_diff(q, k, v, position_bias, gate, key_mask_bias,
+                          interpret):
+    from stutter_tpu.ops.wavlm_attention_pallas import wavlm_fused_attention
+
+    return wavlm_fused_attention(q, k, v, position_bias, gate, key_mask_bias,
+                                 interpret=interpret)
+
+
+_attention_short_diff.defvjp(_attention_short_fwd, _attention_short_bwd)
+
+
+def wavlm_attention_short_diff(
+    q: jax.Array,  # [B, H, L, d] (pre-scaled)
+    k: jax.Array,
+    v: jax.Array,
+    position_bias: jax.Array,  # [H, L, L] f32 (shared across batch)
+    gate: jax.Array,  # [B, H, L] f32
+    key_mask_bias: jax.Array,  # [B, L] f32 (0 valid / -1e9 pad)
+    interpret: bool = False,
+) -> jax.Array:
+    """Differentiable short-bucket gated-bias attention (fused fwd+bwd).
+
+    Same contract as ``wavlm_fused_attention``; one backward kernel over the
+    (head, batch-block) grid — every intermediate ([BB, L, L] probs chain)
+    stays in VMEM, so under per-layer remat a training step's attention
+    writes only q/k/v/out-sized tensors to HBM. Off-default for training
+    until the end-to-end A/B (scripts/bench_finetune.py) decides.
+    """
+    return _attention_short_diff(q, k, v, position_bias, gate, key_mask_bias,
+                                 interpret)
+
+
 def _attention_long_fwd(q, k, v, position_bias, gate, key_mask_bias,
                         block_q, interpret):
     out = wavlm_fused_attention_long(

@@ -67,6 +67,54 @@ def test_gradients_match_reference():
                                    err_msg=f"grad mismatch: {name}")
 
 
+def test_short_variant_gradients_match_reference():
+    from stutter_tpu.ops.wavlm_attention_vjp import wavlm_attention_short_diff
+
+    # B=4 -> BB=1 batch blocks; L=128 spans full rows like the real kernel
+    args = _rand_inputs(B=4, H=2, L=128, d=64, seed=5)
+    cot = jnp.asarray(
+        np.random.default_rng(7).standard_normal(args[0].shape), jnp.float32)
+
+    def loss_fused(q, k, v, pb, gate, mask):
+        out = wavlm_attention_short_diff(q, k, v, pb, gate, mask,
+                                         interpret=True)
+        return jnp.sum(out * cot)
+
+    def loss_ref(q, k, v, pb, gate, mask):
+        return jnp.sum(_reference(q, k, v, pb, gate, mask) * cot)
+
+    np.testing.assert_allclose(
+        float(loss_fused(*args)), float(loss_ref(*args)), rtol=2e-5)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(*args)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
+    for name, a, b in zip("q k v pb gate".split(), g_fused, g_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = max(1e-6, float(np.abs(b).max()))
+        np.testing.assert_allclose(a, b, rtol=3e-5, atol=3e-5 * denom,
+                                   err_msg=f"grad mismatch (short): {name}")
+
+
+def test_short_variant_batch_blocked_accumulation():
+    # B=16 -> BB=16 single block; B=8 -> BB=8; B=2 -> BB=1 x 2 grid steps,
+    # which exercises the dbias in-place accumulation across batch blocks
+    from stutter_tpu.ops.wavlm_attention_vjp import wavlm_attention_short_diff
+
+    args = _rand_inputs(B=2, H=2, L=128, d=64, seed=6)
+    cot = jnp.asarray(
+        np.random.default_rng(8).standard_normal(args[0].shape), jnp.float32)
+
+    g_pb = jax.grad(
+        lambda pb: jnp.sum(wavlm_attention_short_diff(
+            args[0], args[1], args[2], pb, args[4], args[5],
+            interpret=True) * cot))(args[3])
+    g_pb_ref = jax.grad(
+        lambda pb: jnp.sum(_reference(
+            args[0], args[1], args[2], pb, args[4], args[5]) * cot))(args[3])
+    a, b = np.asarray(g_pb), np.asarray(g_pb_ref)
+    np.testing.assert_allclose(a, b, rtol=3e-5,
+                               atol=3e-5 * float(np.abs(b).max()))
+
+
 def test_gradients_under_checkpoint_and_uneven_block():
     # L=384 forces the backward's block halving (384 % 256 != 0 -> BQ=128)
     # and jax.checkpoint exercises the remat path fine-tuning uses.
