@@ -258,6 +258,29 @@ def _ffn(x, p, precision):
 # ---------------------------------------------------------------------------
 
 
+def _stem_shifted_gemm(x, w, b, stride, precision, gelu=True):
+    """k=3 conv as three shift-by-t GEMMs: y[i] = Σ_t x_pad[s·i + t] @ W_tᵀ.
+
+    x: [B, L, C_in]; w: [C_out, C_in, 3] (OIH, as the checkpoint stores it);
+    returns [B, L_out, C_out]. Keeps activations in [B, L, C] layout — no
+    NCH transposes — and runs [L, C] @ [C, D] contractions the MXU tiles
+    natively (the wavlm-stem lesson: XLA's conv lowering leaves the MXU
+    underfed for 1-D stems; exact up to matmul reassociation, verified
+    against the conv path in tests/test_whisper_fidelity.py).
+    """
+    L = x.shape[1]
+    Lo = L // stride
+    wt = jnp.swapaxes(w, 0, 2)  # [3, C_in, C_out]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
+    y = sum(
+        jnp.einsum("blc,cd->bld", xp[:, t:stride * (Lo - 1) + t + 1:stride],
+                   wt[t], precision=precision)
+        for t in range(3)
+    )
+    y = y + b.astype(y.dtype)[None, None, :]
+    return _gelu(y) if gelu else y
+
+
 def whisper_encoder_forward(
     params: Params,
     input_features: jax.Array,
@@ -266,6 +289,7 @@ def whisper_encoder_forward(
     activation_dtype=jnp.float32,
     hidden_reducer=None,
     use_flash: bool = True,
+    gemm_stem: bool = False,
 ):
     """[B, 80, 3000] log-mel -> (last_hidden [B, 1500, D], all_hidden [N+1, ...]).
 
@@ -283,17 +307,27 @@ def whisper_encoder_forward(
     # fidelity preset — identical numerics; bf16 on fast — halves the
     # [B, D, 3000] stem traffic); the positional add stays f32
     x = input_features.astype(activation_dtype)
-    x = jax.lax.conv_general_dilated(
-        x, enc["conv1_w"].astype(activation_dtype), window_strides=(1,), padding=[(1, 1)],
-        dimension_numbers=("NCH", "OIH", "NCH"), precision=precision,
-    )
-    x = _gelu(x + enc["conv1_b"].astype(x.dtype)[None, :, None])
-    x = jax.lax.conv_general_dilated(
-        x, enc["conv2_w"].astype(activation_dtype), window_strides=(2,), padding=[(1, 1)],
-        dimension_numbers=("NCH", "OIH", "NCH"), precision=precision,
-    )
-    x = _gelu(x + enc["conv2_b"].astype(x.dtype)[None, :, None])
-    x = jnp.swapaxes(x, 1, 2)  # [B, 1500, D]
+    if gemm_stem:
+        # shifted-GEMM stem (A/B: scripts/whisper_stem_ab.py)
+        x = jnp.swapaxes(x, 1, 2)  # [B, 3000, mel]
+        x = _stem_shifted_gemm(x, enc["conv1_w"].astype(activation_dtype),
+                               enc["conv1_b"], 1, precision)
+        x = _stem_shifted_gemm(x, enc["conv2_w"].astype(activation_dtype),
+                               enc["conv2_b"], 2, precision)  # [B, 1500, D]
+    else:
+        x = jax.lax.conv_general_dilated(
+            x, enc["conv1_w"].astype(activation_dtype), window_strides=(1,),
+            padding=[(1, 1)],
+            dimension_numbers=("NCH", "OIH", "NCH"), precision=precision,
+        )
+        x = _gelu(x + enc["conv1_b"].astype(x.dtype)[None, :, None])
+        x = jax.lax.conv_general_dilated(
+            x, enc["conv2_w"].astype(activation_dtype), window_strides=(2,),
+            padding=[(1, 1)],
+            dimension_numbers=("NCH", "OIH", "NCH"), precision=precision,
+        )
+        x = _gelu(x + enc["conv2_b"].astype(x.dtype)[None, :, None])
+        x = jnp.swapaxes(x, 1, 2)  # [B, 1500, D]
     x = (x.astype(jnp.float32) + enc["pos_embed"][None].astype(jnp.float32)).astype(
         activation_dtype
     )

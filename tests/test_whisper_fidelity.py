@@ -68,6 +68,20 @@ def test_whisper_encoder_matches_hf(rng, whisper_pair):
         np.testing.assert_allclose(ours[i], g, atol=2e-3, rtol=1e-3)
 
 
+def test_gemm_stem_matches_conv_stem(rng, whisper_pair):
+    """The shifted-GEMM stem (gemm_stem=True) must equal the XLA-conv stem
+    up to matmul reassociation — checked on every hidden state so the
+    difference can't hide behind the encoder stack."""
+    from stutter_tpu.models import whisper_encoder_forward
+
+    _, cfg, params = whisper_pair
+    mel = (rng.randn(2, 80, 3000) * 0.5).astype(np.float32)
+    _, conv_h = whisper_encoder_forward(params, mel, cfg)
+    _, gemm_h = whisper_encoder_forward(params, mel, cfg, gemm_stem=True)
+    np.testing.assert_allclose(np.asarray(gemm_h), np.asarray(conv_h),
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_whisper_decoder_step_matches_hf(rng, whisper_pair):
     import torch
 
