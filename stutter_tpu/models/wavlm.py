@@ -394,7 +394,16 @@ def gated_relpos_attention(
     # under tensor parallelism — a pallas_call has no GSPMD partition rule
     # and would force its TP-sharded operands replicated)
     use_kernels = allow_flash and _flash_available() and x.dtype == jnp.bfloat16
-    if use_kernels and L >= 512 and hd >= 64 \
+    # einsum-vs-fused-kernel crossover (trace-time, frames): below this the
+    # materialized-[B, H, L, L] einsum path wins — XLA fuses the logits with
+    # the bias/gate/softmax elementwise work and the quadratic term is still
+    # small; above it the q-blocked fused kernel's VMEM probs win. Measured
+    # on v5e turbo (scripts/chunk_size_sweep.py + long-threshold sweep,
+    # round 4): einsum 3104 audio-s/s at L=400, and at L=512 einsum beats
+    # the fused kernel — the old 512 threshold was costing the 10-12 s
+    # buckets ~15-25%. Env override for A/B sweeps.
+    long_min_l = int(os.environ.get("STUTTER_TPU_LONG_ATTENTION_MIN_L", "1024"))
+    if use_kernels and L >= long_min_l and hd >= 64 \
             and not os.environ.get("STUTTER_TPU_LONG_ATTENTION_FLASH"):
         # long buckets: q-blocked fused kernel — the gate*bias product is
         # computed IN-KERNEL from the batch-shared [H, L, L] table, so the
@@ -434,7 +443,8 @@ def gated_relpos_attention(
             mask2 = jnp.pad(mask2, ((0, 0), (0, pad)), constant_values=-1e9)
         out = wavlm_attention_long_diff(qq, kk, vv, pb, g, mask2,
                                         block_q=BQ)[:, :, :L]
-    elif use_kernels and L >= 512 and hd >= 64:
+    elif (use_kernels and L >= long_min_l and hd >= 64
+          and os.environ.get("STUTTER_TPU_LONG_ATTENTION_FLASH")):
         # escape hatch: the stock flash kernel with a materialized ab
         ab = gated_bias()
         if key_mask_bias is not None:
