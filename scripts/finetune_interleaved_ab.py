@@ -70,9 +70,10 @@ def main():
     opt_state = tx.init(params)
     cw = np.asarray(np.ones((8,), np.float32))
 
-    def make(batch, accum, remat, policy="layer"):
+    def make(batch, accum, remat, policy="layer", unroll=1, env=None):
         cfg = FinetuneConfig(model=model_cfg, n_classes=8,
-                             remat_encoder=remat, remat_policy=policy)
+                             remat_encoder=remat, remat_policy=policy,
+                             accum_unroll=unroll)
         step = jax.jit(make_train_step(cfg, tx, accum), donate_argnums=(0, 1))
         # accum == 1 builds the plain step, whose batch arrays have NO
         # leading microbatch axis (make_train_step contract)
@@ -83,7 +84,10 @@ def main():
         lengths = np.full((*lead, batch), n, np.int32)
         labels = rs.randint(0, 8, (*lead, batch)).astype(np.int32)
         valid = np.ones((*lead, batch), np.float32)
-        return step, (waves, lengths, labels, valid), batch * accum
+        # env: trace-time attention-dispatch knobs — applied around the
+        # variant's FIRST call (the trace+compile); compiled programs are
+        # env-independent afterwards
+        return step, (waves, lengths, labels, valid), batch * accum, env or {}
 
     variants = {}
     if "A" not in skip:
@@ -102,13 +106,27 @@ def main():
         variants["G_b16a4_layerprobs"] = make(16, 4, True, "layer_probs")
     if "H" not in skip:
         variants["H_b64a1_layerprobs"] = make(64, 1, True, "layer_probs")
+    # round-4 variants: the fused short-attention custom VJP (3 s bucket's
+    # [BB, L, L] probs chain in VMEM both directions) and the grad-accum
+    # scan unroll (fuse the f32 grad-tree adds into backward epilogues)
+    if "I" not in skip:
+        variants["I_b16a4_fusedshort"] = make(
+            16, 4, True, env={"STUTTER_TPU_FUSED_SHORT_ATTENTION": "1"})
+    if "J" not in skip:
+        variants["J_b16a4_unroll2"] = make(16, 4, True, unroll=2)
+    if "K" not in skip:
+        variants["K_b16a4_unroll4"] = make(16, 4, True, unroll=4)
+    if "L" not in skip:
+        variants["L_b16a4_fusedshort_unroll4"] = make(
+            16, 4, True, unroll=4,
+            env={"STUTTER_TPU_FUSED_SHORT_ATTENTION": "1"})
 
     key = jax.random.key(1)
     dead = set()
 
     def run_one(name, sync):
         nonlocal params, opt_state, key
-        step, (w, l, y, v), _ = variants[name]
+        step, (w, l, y, v), _, _ = variants[name]
         key, k = jax.random.split(key)
         params, opt_state, aux = step(params, opt_state, w, l, y, v, cw, k)
         if sync:
@@ -118,13 +136,19 @@ def main():
     # compile + first exec for every variant BEFORE any timing; a variant
     # that fails (compile 500 / HBM OOM raised at compile time) is dropped
     for name in list(variants):
+        env = variants[name][3]
         try:
+            for k2, v2 in env.items():
+                os.environ[k2] = v2
             m = run_one(name, sync=True)
             print(f"compiled {name}: loss={m['loss']:.3f}", flush=True)
         except Exception as e:  # noqa: BLE001
             print(f"DROPPED {name}: {type(e).__name__}: {str(e)[:200]}",
                   flush=True)
             dead.add(name)
+        finally:
+            for k2 in env:
+                os.environ.pop(k2, None)
 
     times = {k: [] for k in variants if k not in dead}
     for r in range(args.rounds):
