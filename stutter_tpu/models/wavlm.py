@@ -441,8 +441,20 @@ def gated_relpos_attention(
             pb = jnp.pad(pb, ((0, 0), (0, pad), (0, pad)))
             g = jnp.pad(g, ((0, 0), (0, 0), (0, pad)))
             mask2 = jnp.pad(mask2, ((0, 0), (0, pad)), constant_values=-1e9)
+        # forward-softmax exp dtype (trace-time env). MEASURED NEGATIVE on
+        # v5e (scripts/long_exp_ab.py, artifacts/long_exp_ab_r4.json): bf16
+        # exp read 2067 vs f32's 2126 audio-s/s at 30 s, neutral at 20 s —
+        # the kernel is near its structural roofline (head_dim=64 pins both
+        # attention matmuls at ~50% MXU; softmax VPU work overlaps the MXU
+        # well already), so the extra casts cost more than bf16 exp saves.
+        # Knob kept for re-measurement on future TPU generations.
+        exp_dtype = (jnp.bfloat16
+                     if os.environ.get("STUTTER_TPU_LONG_ATTENTION_EXP",
+                                       "f32") == "bf16"
+                     else jnp.float32)
         out = wavlm_attention_long_diff(qq, kk, vv, pb, g, mask2,
-                                        block_q=BQ)[:, :, :L]
+                                        block_q=BQ,
+                                        exp_dtype=exp_dtype)[:, :, :L]
     elif (use_kernels and L >= long_min_l and hd >= 64
           and os.environ.get("STUTTER_TPU_LONG_ATTENTION_FLASH")):
         # escape hatch: the stock flash kernel with a materialized ab

@@ -90,7 +90,8 @@ def wavlm_fused_attention(
 # ---------------------------------------------------------------------------
 
 
-def _attn_long_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, mask_ref, out_ref):
+def _attn_long_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, mask_ref, out_ref,
+                      *, exp_dtype=jnp.float32):
     q = q_ref[0, 0]  # [BQ, d] bf16 (pre-scaled)
     k = k_ref[0, 0]  # [L, d]
     v = v_ref[0, 0]
@@ -99,14 +100,19 @@ def _attn_long_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, mask_ref, out_ref
     )  # [BQ, L] f32
     p = s + gate_ref[0, 0] * bias_ref[0] + mask_ref[0, 0][None, :]
     p_max = jnp.max(p, axis=-1, keepdims=True)
-    e = jnp.exp(p - p_max)
-    a = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
+    # exp_dtype=bfloat16: the exp + divide run at the VPU's bf16 rate; the
+    # max-subtraction keeps the argument in [-inf, 0] where bf16's relative
+    # step (~0.8%) perturbs probs far below the 1e-3 fidelity bar, and the
+    # row sum accumulates in f32 (the L~1500 sum would lose bf16 precision)
+    e = jnp.exp((p - p_max).astype(exp_dtype))
+    r = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+    a = (e * (1.0 / r).astype(exp_dtype)).astype(v.dtype)
     out_ref[0, 0] = jax.lax.dot_general(
         a, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret", "exp_dtype"))
 def wavlm_fused_attention_long(
     q: jax.Array,  # [B, H, L, d] (pre-scaled)
     k: jax.Array,
@@ -116,6 +122,7 @@ def wavlm_fused_attention_long(
     key_mask_bias: jax.Array,  # [B, L] f32 (0 valid / -1e9 pad)
     block_q: int = 256,
     interpret: bool = False,
+    exp_dtype=jnp.float32,
 ) -> jax.Array:
     """Long-bucket (L >= ~512) gated-bias attention without the [B, H, L, L]
     HBM tensor.
@@ -142,7 +149,7 @@ def wavlm_fused_attention_long(
     kv_spec = pl.BlockSpec((1, 1, L, d), lambda h, qb, b: (b, h, 0, 0),
                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _attn_long_kernel,
+        functools.partial(_attn_long_kernel, exp_dtype=exp_dtype),
         grid=grid,
         in_specs=[
             q_spec,

@@ -186,7 +186,12 @@ def _attention_short_fwd(q, k, v, position_bias, gate, key_mask_bias,
 def _attention_short_bwd(interpret, res, do):
     q, k, v, position_bias, gate, key_mask_bias, out = res
     B, H, L, d = q.shape
-    BB = 16 if B % 16 == 0 else (8 if B % 8 == 0 else 1)  # mirror the forward
+    # batch-block 8, NOT the forward's 16: the backward holds ~6 [BB, L, L]
+    # f32 temporaries (s, p, e, a, da, dp) vs the forward's ~4, and BB=16 at
+    # L=160 overflows the 16 MB scoped VMEM — the remote compile service
+    # crashes (HTTP 500, tpu_compile_helper exit 1) rather than reporting
+    # the overflow; BB=8 compiles and runs (measured round 4, /tmp probes)
+    BB = 8 if B % 8 == 0 else 1
     dsum = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
                    keepdims=True)
     gate4 = gate[..., None]
@@ -255,15 +260,20 @@ def wavlm_attention_short_diff(
 
 
 def _attention_long_fwd(q, k, v, position_bias, gate, key_mask_bias,
-                        block_q, interpret):
+                        block_q, interpret, exp_dtype):
     out = wavlm_fused_attention_long(
         q, k, v, position_bias, gate, key_mask_bias,
-        block_q=block_q, interpret=interpret,
+        block_q=block_q, interpret=interpret, exp_dtype=exp_dtype,
     )
     return out, (q, k, v, position_bias, gate, key_mask_bias, out)
 
 
-def _attention_long_bwd(block_q, interpret, res, do):
+def _attention_long_bwd(block_q, interpret, exp_dtype, res, do):
+    # exp_dtype applies to the FORWARD kernel only: the backward recompute
+    # keeps its f32 softmax — the bf16 exp's ~0.4% prob rounding is far
+    # below gradient noise, and sharing one backward program across both
+    # forward variants keeps the compile-cache footprint halved
+    del exp_dtype
     q, k, v, position_bias, gate, key_mask_bias, out = res
     B, H, L, d = q.shape
     # the backward kernels hold ~3 extra [BQ, L] f32 tiles (a, da, dp) vs the
@@ -345,12 +355,12 @@ def _attention_long_bwd(block_q, interpret, res, do):
             dbias.astype(position_bias.dtype), dgate, None)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def _attention_long_diff(q, k, v, position_bias, gate, key_mask_bias,
-                         block_q, interpret):
+                         block_q, interpret, exp_dtype):
     return wavlm_fused_attention_long(
         q, k, v, position_bias, gate, key_mask_bias,
-        block_q=block_q, interpret=interpret,
+        block_q=block_q, interpret=interpret, exp_dtype=exp_dtype,
     )
 
 
@@ -366,11 +376,17 @@ def wavlm_attention_long_diff(
     key_mask_bias: jax.Array,  # [B, L] f32 (0 valid / -1e9 pad)
     block_q: int = 256,
     interpret: bool = False,
+    exp_dtype=None,
 ) -> jax.Array:
     """Differentiable long-bucket gated-bias attention (fused Pallas fwd+bwd).
 
     Same contract as ``wavlm_fused_attention_long``; safe under ``jax.grad``
     and ``jax.checkpoint``. ``key_mask_bias`` gets no gradient (lengths).
+    ``exp_dtype`` (default f32) sets the forward softmax's exp/divide dtype;
+    the backward recompute always uses f32 (see _attention_long_bwd).
     """
+    import jax.numpy as _jnp
+
     return _attention_long_diff(q, k, v, position_bias, gate, key_mask_bias,
-                                block_q, interpret)
+                                block_q, interpret,
+                                exp_dtype or _jnp.float32)
