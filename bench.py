@@ -228,6 +228,30 @@ def main() -> None:
             pass
         measure_headline()  # loop 5, late in the run
 
+    # chunk-policy long-clip throughput: what a >30 s file actually gets
+    # under ``--long_files chunk --max_length 12`` — 12 s chunks (einsum
+    # attention since the r4 L>=1024 kernel-threshold retune) plus a 6 s
+    # tail chunk riding the 6 s bucket. Reported as the EFFECTIVE rate for
+    # a 30 s clip: 24 s at the 12 s-bucket rate + 6 s at the 6 s-bucket
+    # rate (zero-overhead combine model; the pipeline overlaps the real
+    # combine). Sweep provenance: artifacts/chunk_size_sweep_r4.json.
+    long_chunk_tp = None
+    if _budget_left() > 300:
+        try:
+            rates = {}
+            for cs, cb in ((12.0, 30), (6.0, 60)):
+                ns_c = batcher.bucket_samples(cs)
+                cw_ = jax.device_put(
+                    (rs.randn(cb, ns_c) * 0.1).astype(np.float32))
+                cl_ = jax.device_put(np.full((cb,), ns_c, np.int32))
+                t_c = chain_time(scalar_bench, (bench_params, cw_, cl_), iters=5)
+                rates[cs] = cb * (ns_c / sr) / t_c
+                del cw_, cl_
+            long_chunk_tp = round(30.0 / (24.0 / rates[12.0] + 6.0 / rates[6.0]), 2)
+        except Exception:  # noqa: BLE001
+            pass
+        measure_headline()  # loop 6
+
     t_step = min(loop_s)
     throughput = batch * (n_samples / sr) / t_step
     if preset == "turbo":
@@ -283,6 +307,7 @@ def main() -> None:
         "fast_audio_sec_per_sec": fast_tp,
         "turbo_audio_sec_per_sec": turbo_tp,
         "long_bucket_30s_audio_sec_per_sec": long_tp,
+        "long_chunk_policy_30s_audio_sec_per_sec": long_chunk_tp,
         "turbo_fidelity_cosine_distance_vs_f32": turbo_fidelity,
         **whisper_stats,
         **finetune_stats,
