@@ -138,3 +138,30 @@ def test_gradients_under_checkpoint_and_uneven_block():
         denom = max(1e-6, float(np.abs(b).max()))
         np.testing.assert_allclose(a, b, rtol=3e-5, atol=3e-5 * denom,
                                    err_msg=f"grad mismatch: {name}")
+
+
+def test_exp_dtype_bf16_forward_close():
+    """The off-default bf16-exp forward (measured-negative perf knob, kept
+    for other hardware) must stay numerically close to the f32 softmax."""
+    args = _rand_inputs()
+    out32 = wavlm_attention_long_diff(*args, block_q=128, interpret=True)
+    out16 = wavlm_attention_long_diff(*args, block_q=128, interpret=True,
+                                      exp_dtype=jnp.bfloat16)
+    a = np.asarray(out16, np.float64).reshape(-1)
+    b = np.asarray(out32, np.float64).reshape(-1)
+    cos = 1 - a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos < 1e-4, cos
+
+
+def test_short_backward_block_is_vmem_safe():
+    """Regression: the short BACKWARD kernel must tile the batch at BB=8,
+    not the forward's 16 — its ~6 [BB, L, L] f32 temporaries overflow the
+    16 MB scoped VMEM at BB=16/L=160 and the remote compile service crashes
+    opaquely (round 4, DESIGN.md §10). White-box check of the block choice
+    so a refactor can't silently mirror the forward again."""
+    import inspect
+
+    from stutter_tpu.ops import wavlm_attention_vjp as m
+
+    src = inspect.getsource(m._attention_short_bwd)
+    assert "BB = 8 if B % 8 == 0 else 1" in src
