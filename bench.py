@@ -228,13 +228,16 @@ def main() -> None:
             pass
         measure_headline()  # loop 5, late in the run
 
-    # chunk-policy long-clip throughput: what a >30 s file actually gets
-    # under ``--long_files chunk --max_length 12`` — 12 s chunks (einsum
-    # attention since the r4 L>=1024 kernel-threshold retune) plus a 6 s
-    # tail chunk riding the 6 s bucket. Reported as the EFFECTIVE rate for
-    # a 30 s clip: 24 s at the 12 s-bucket rate + 6 s at the 6 s-bucket
-    # rate (zero-overhead combine model; the pipeline overlaps the real
-    # combine). Sweep provenance: artifacts/chunk_size_sweep_r4.json.
+    # chunk-policy long-clip throughput: what a CORPUS of 30 s files gets
+    # under ``--long_files chunk --max_length 12`` — since the r4 cross-file
+    # chunk batching (extract/pipeline.py:_extract_chunked_rows), full 12 s
+    # chunks from all files share full-size top-bucket batches (einsum
+    # attention since the L>=1008 kernel-threshold retune) and each 6 s
+    # tail rides the 6 s bucket. Reported as the effective rate for 30 s
+    # content: 24 s at the full-batch 12 s-bucket rate + 6 s at the
+    # full-batch 6 s rate (assumes enough files to fill batches; host
+    # combine overlaps device compute via the 1-deep async pipeline).
+    # Sweep provenance: artifacts/chunk_size_sweep_r4.json.
     long_chunk_tp = None
     if _budget_left() > 300:
         try:

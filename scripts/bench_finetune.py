@@ -120,10 +120,15 @@ def main():
     t = min(loop_t)
 
     enc_flops, stem_flops, _ = wavlm_flops(model_cfg, batch, n)
-    fwd = (enc_flops + stem_flops) * K
-    # frozen probe: backbone backward is pruned (stop_gradient), so the model
-    # FLOPs are ~one forward, not fwd+bwd
-    bwd_factor = 1 if args.freeze_backbone else 3
+    # FLOP credit matches bench.py:_finetune_throughput exactly so the two
+    # mfu_lower_bound fields are comparable: 3x encoder for fwd+bwd, 1x stem
+    # when the stem is frozen (its backward is structurally pruned), 1x
+    # everything when the whole backbone is frozen
+    if args.freeze_backbone:
+        flops = (enc_flops + stem_flops) * K
+    else:
+        stem_mult = 1 if cfg.freeze_feature_encoder else 3
+        flops = (3 * enc_flops + stem_mult * stem_flops) * K
     out = {
         "metric": "wavlm_large_finetune_step_throughput",
         "batch": batch,
@@ -134,7 +139,7 @@ def main():
         # padded bucket seconds, same accounting as bench.py's extraction
         # headline (n is the frame-aligned bucket for 3.0 s clips)
         "audio_s_per_s": round(K * batch * (n / sr) / t, 1),
-        "mfu_lower_bound": round(bwd_factor * fwd / t / V5E_BF16_PEAK, 3),
+        "mfu_lower_bound": round(flops / t / V5E_BF16_PEAK, 3),
         "loop_ms": [round(x * 1e3, 1) for x in loop_t],
         "fused_short_attention": args.fused_short_attention,
         "accum_unroll": args.accum_unroll,

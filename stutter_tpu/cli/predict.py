@@ -150,7 +150,16 @@ def _extract_corpus(args, metadata: pd.DataFrame, out_root: str, logger) -> bool
         parts = [("wavlm", name, args.max_length),
                  ("whisper", args.whisper_model_name, None)]
     else:
-        parts = [(args.model_type, name, args.max_length)]
+        # same per-part policy in single-model mode: whisper-only predict
+        # must keep the native 30 s window too (a --max_length here would
+        # window whisper features differently from the extract_whisper-built
+        # training store — the exact mismatch the combined branch avoids)
+        part_max = None if args.model_type.startswith("whisper") else args.max_length
+        if args.model_type.startswith("whisper") and args.max_length:
+            logger.warning("--max_length is ignored for whisper predict: "
+                           "training-time whisper embeddings use the native "
+                           "30 s window (extract_whisper has no --max_length)")
+        parts = [(args.model_type, name, part_max)]
 
     splits = [s for s in metadata["split"].unique() if isinstance(s, str)]
     for part_type, part_name, part_max_len in parts:

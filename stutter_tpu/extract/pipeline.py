@@ -540,9 +540,9 @@ class ExtractionPipeline:
         if pending is not None:
             drain(pending)
 
-        for row_idx in long_rows:
-            entry = self._extract_chunked(todo.iloc[row_idx], split)
-            if entry is not None:
+        if long_rows:
+            def on_file_done(entry):
+                nonlocal audio_s, since_ckpt, ckpt_num
                 results.append(entry)
                 audio_s += entry.pop("_audio_s")
                 since_ckpt += 1
@@ -550,6 +550,8 @@ class ExtractionPipeline:
                     ckpt_num += 1
                     save_checkpoint(results, output_dir, split, ckpt_num)
                     since_ckpt = 0
+
+            self._extract_chunked_rows(todo, long_rows, split, on_file_done)
         wall = time.perf_counter() - t0
         if wall > 0 and audio_s > 0:
             logger.info(
@@ -578,6 +580,133 @@ class ExtractionPipeline:
         logger.info("chunked %s: %d chunks (%.1f s)", meta_row["filename"],
                     n_chunks, audio_s)
         return entry
+
+    def _extract_chunked_rows(self, todo, long_rows: list[int], split: str,
+                              on_file_done) -> None:
+        """Cross-file chunk batching for the 'chunk' long-file policy.
+
+        The single-file path (``chunked_embeddings``, kept for the online
+        server) runs each over-length file as its OWN tiny padded batch —
+        a 30 s file under a 12 s cap costs a batch-of-4 top-bucket program
+        for 2.5 chunks of content. Here chunks from ALL long files share
+        the same full-size bucket batches the short-clip path uses (full
+        chunks ride the top bucket, each tail rides its smallest covering
+        bucket), so a corpus of long files extracts at full-batch
+        throughput. Per-file combination is identical: pooled chunk
+        embeddings weighted by true frame count, accumulated as each batch
+        drains; a file's entry is emitted when its last chunk lands.
+        Batches are padded to the bucket's standard batch size, so no new
+        jit shapes are compiled beyond the normal path's.
+        """
+        from stutter_tpu.audio.wavio import load_audio
+
+        sr = self.batcher.target_sr
+        top_samples = self.batcher.bucket_samples(self.batcher.buckets_s[-1])
+        can_pipeline = (hasattr(self.extractor, "submit")
+                        and hasattr(self.extractor, "collect"))
+
+        # per-file accumulators: weighted embedding sums + weight mass
+        acc: dict[int, dict] = {}
+        # pending per-bucket buffers: bucket_s -> (slices, lengths, rowids)
+        pend: dict[float, list] = {}
+        inflight: list = []  # [(bucket_s, slot_meta, handle), ...]
+
+        def finalize(row_idx: int) -> None:
+            a = acc.pop(row_idx)
+            if a["wsum"] <= 0:
+                logger.error("skipping %s (no usable chunks)", a["path"])
+                return
+            meta_row = todo.iloc[row_idx]
+            entry = {
+                "filename": meta_row["filename"], "path": meta_row["path"],
+                "split": split, "chunks": a["n_chunks"],
+                "_audio_s": a["audio_s"],
+            }
+            if "label" in meta_row and not pd.isna(meta_row["label"]):
+                entry["label"] = meta_row["label"]
+            for col, v in a["sums"].items():
+                entry[col] = np.asarray(v / a["wsum"], np.float32)
+            logger.info("chunked %s: %d chunks (%.1f s)",
+                        meta_row["filename"], a["n_chunks"], a["audio_s"])
+            on_file_done(entry)
+
+        def drain_one() -> None:
+            bucket_s, slot_meta, handle = inflight.pop(0)
+            embeddings = (self.extractor.collect(handle)
+                          if can_pipeline else handle)
+            for slot, (row_idx, w) in enumerate(slot_meta):
+                if row_idx is None:
+                    continue
+                a = acc[row_idx]
+                if w > 0:
+                    for col, arr in embeddings.items():
+                        a["sums"][col] = a["sums"].get(col, 0.0) + (
+                            np.asarray(arr[slot], np.float64) * w)
+                    a["wsum"] += w
+                a["remaining"] -= 1
+                if a["remaining"] == 0:
+                    finalize(row_idx)
+
+        def submit_bucket(bucket_s: float) -> None:
+            slices, lengths, rowids = pend.pop(bucket_s)
+            bsz = self.batcher.batch_size_for(bucket_s)
+            max_samples = self.batcher.bucket_samples(bucket_s)
+            waves = np.zeros((bsz, max_samples), np.float32)
+            lens = np.zeros((bsz,), np.int64)
+            ok = np.zeros((bsz,), bool)
+            slot_meta: list[tuple[int | None, float]] = []
+            for s, (seg, n, row_idx) in enumerate(zip(slices, lengths, rowids)):
+                # frame-aligned bucket_samples can sit up to stride-1 samples
+                # under the nominal bucket seconds — trim like decode_batch's
+                # max_samples does on the normal path (<=0.02 s of tail)
+                n = min(n, max_samples)
+                waves[s, :n] = seg[:n]
+                lens[s] = n
+                ok[s] = True
+                w = max(0, self.extractor.frame_count(int(n)))
+                slot_meta.append((row_idx, float(w)))
+            slot_meta += [(None, 0.0)] * (bsz - len(slices))
+            batch = Batch(
+                paths=[todo.iloc[r]["path"] for r in rowids],
+                rows=list(rowids), waves=waves, lengths=lens, ok=ok,
+                bucket_s=bucket_s, sample_rate=sr,
+            )
+            handle = (self.extractor.submit(batch)
+                      if can_pipeline else self.extractor(batch))
+            inflight.append((bucket_s, slot_meta, handle))
+            # 1-deep: drain the previous batch after dispatching this one
+            while len(inflight) > 1:
+                drain_one()
+
+        def push(bucket_s: float, seg: np.ndarray, row_idx: int) -> None:
+            buf = pend.setdefault(bucket_s, ([], [], []))
+            buf[0].append(seg)
+            buf[1].append(len(seg))
+            buf[2].append(row_idx)
+            if len(buf[0]) >= self.batcher.batch_size_for(bucket_s):
+                submit_bucket(bucket_s)
+
+        for row_idx in long_rows:
+            path = todo.iloc[row_idx]["path"]
+            wave = load_audio(path, target_sr=sr)
+            if wave is None:
+                logger.error("skipping %s (decode failed)", path)
+                continue
+            n_chunks = max(1, -(-len(wave) // top_samples))
+            acc[row_idx] = {"path": path, "sums": {}, "wsum": 0.0,
+                            "remaining": n_chunks, "n_chunks": n_chunks,
+                            "audio_s": float(len(wave)) / sr}
+            for c in range(n_chunks):
+                seg = wave[c * top_samples:(c + 1) * top_samples]
+                tail_s = len(seg) / sr
+                bucket = next((b for b in self.batcher.buckets_s
+                               if tail_s <= b), self.batcher.buckets_s[-1])
+                push(bucket, seg, row_idx)
+
+        for bucket_s in list(pend):
+            submit_bucket(bucket_s)
+        while inflight:
+            drain_one()
 
     def run(
         self,

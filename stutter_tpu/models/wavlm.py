@@ -398,11 +398,15 @@ def gated_relpos_attention(
     # materialized-[B, H, L, L] einsum path wins — XLA fuses the logits with
     # the bias/gate/softmax elementwise work and the quadratic term is still
     # small; above it the q-blocked fused kernel's VMEM probs win. Measured
-    # on v5e turbo (scripts/chunk_size_sweep.py + long-threshold sweep,
-    # round 4): einsum 3104 audio-s/s at L=400, and at L=512 einsum beats
-    # the fused kernel — the old 512 threshold was costing the 10-12 s
-    # buckets ~15-25%. Env override for A/B sweeps.
-    long_min_l = int(os.environ.get("STUTTER_TPU_LONG_ATTENTION_MIN_L", "1024"))
+    # on v5e turbo extraction (scripts/long_threshold_sweep.py, round 4):
+    # einsum wins 3256/2955/2584 vs fused 2505/2364/2323 at L=512/608/800,
+    # fused wins 2477 vs 2352 at L=1008 — the old 512 threshold was costing
+    # the 10-16 s buckets 15-25%. Default 1008 so the 20 s bucket (L=1008,
+    # the measured fused win) takes the kernel. The crossover is measured on
+    # the extraction FORWARD; training (jax.grad) shares it — the einsum
+    # backward's HBM chain could shift the training crossover lower, so
+    # long-clip fine-tunes can override via env. Env override for A/Bs.
+    long_min_l = int(os.environ.get("STUTTER_TPU_LONG_ATTENTION_MIN_L", "1008"))
     if use_kernels and L >= long_min_l and hd >= 64 \
             and not os.environ.get("STUTTER_TPU_LONG_ATTENTION_FLASH"):
         # long buckets: q-blocked fused kernel — the gate*bias product is
@@ -466,8 +470,13 @@ def gated_relpos_attention(
     elif (
         use_kernels
         and L % 8 == 0
+        and L <= 192
         and os.environ.get("STUTTER_TPU_FUSED_SHORT_ATTENTION")
     ):
+        # L <= 192: the whole-row kernel holds ~4 [BB, L, L] f32 temporaries
+        # at BB=16 (s/p/e/a) — L=192 is ~9.4 MB, safely under the 16 MB
+        # scoped VMEM; by L=304 it's ~23.7 MB and the remote compile service
+        # crashes opaquely (HTTP 500). Mid lengths fall through to einsum.
         # short buckets: fused kernel (ops/wavlm_attention_pallas.py). Wins
         # in isolation (2.85 vs 3.38 ms at B=128/L=144) but loses end-to-end
         # for EXTRACTION (XLA fuses the einsum logits with neighbors across

@@ -74,14 +74,20 @@ class FinetuneConfig:
     # the cost of a K-times-larger step program (the remote compile service
     # is the binding constraint there, DESIGN.md §6b)
     accum_unroll: int = 1
-    # long-bucket (L >= 512) attention kernels in the TRAINING step: the
-    # fused gated-bias kernel now has a flash-style custom VJP
-    # (ops/wavlm_attention_vjp), so >=12 s clips no longer pay the einsum
-    # path's [B, H, L, L] HBM chain under jax.grad. None = auto: on for
-    # single-device runs, off under a mesh (a pallas_call has no GSPMD
-    # partition rule — it would force its DP-sharded operands replicated;
-    # FinetuneTrainer resolves this at construction). Short buckets are
-    # unaffected either way (einsum path, chosen by L at trace time).
+    # long-bucket attention kernels in the TRAINING step: the fused
+    # gated-bias kernel has a flash-style custom VJP
+    # (ops/wavlm_attention_vjp), so buckets at or past the dispatch
+    # threshold (L >= 1008, i.e. >=20 s clips — models/wavlm.py, the
+    # extraction-forward-measured einsum/kernel crossover;
+    # STUTTER_TPU_LONG_ATTENTION_MIN_L overrides) no longer pay the einsum
+    # path's [B, H, L, L] HBM chain under jax.grad. 12-16 s buckets ride
+    # einsum in both directions — the training-side crossover has not been
+    # measured separately and could sit lower (the einsum BACKWARD's HBM
+    # chain is what the VJP eliminates); lower the env threshold to A/B.
+    # None = auto: on for single-device runs, off under a mesh (a
+    # pallas_call has no GSPMD partition rule — it would force its
+    # DP-sharded operands replicated; FinetuneTrainer resolves this at
+    # construction). Short buckets are unaffected either way.
     use_flash_attention: bool | None = None
     seed: int = 0
 

@@ -119,3 +119,71 @@ def test_chunked_whisper_true_frame_weighting(tmp_path, rng):
         np.testing.assert_allclose(
             np.asarray(df.iloc[0][col], np.float64), expected, rtol=1e-5, atol=1e-6
         )
+
+
+def test_chunked_files_share_batches(tmp_path, rng):
+    """Round-4 throughput fix: chunks from DIFFERENT long files must ride
+    shared full-size bucket batches (full chunks in the top bucket, tails in
+    their smallest covering bucket) instead of one tiny padded batch per
+    file — and the per-file combination must equal the single-file
+    chunked_embeddings math."""
+    import jax
+
+    from stutter_tpu.audio.wavio import write_wav
+    from stutter_tpu.extract import (
+        BucketBatcher,
+        ExtractionPipeline,
+        WavLMExtractor,
+        create_metadata_from_files,
+    )
+    from stutter_tpu.extract.pipeline import chunked_embeddings
+    from stutter_tpu.models import WavLMConfig, init_wavlm_params
+
+    wav_dir = tmp_path / "wav"
+    wav_dir.mkdir()
+    for i in range(3):  # three 5 s files: 2+2+1 s chunks each under a 2 s cap
+        wave = (rng.randn(16000 * 5) * 0.1).astype(np.float32)
+        write_wav(str(wav_dir / f"train_long{i}.wav"), wave, 16000)
+
+    cfg = WavLMConfig.tiny(hidden_size=32, layers=2, heads=4)
+    params = init_wavlm_params(jax.random.key(0), cfg)
+    extractor = WavLMExtractor(cfg, params)
+    calls: list[tuple[float, int]] = []
+    orig = extractor.__class__.__call__
+
+    class Counting:
+        def __getattr__(self, name):
+            # expose everything EXCEPT submit/collect so the pipeline takes
+            # the synchronous path through our counting __call__
+            if name in ("submit", "collect"):
+                raise AttributeError(name)
+            return getattr(extractor, name)
+
+        def __call__(self, batch):
+            calls.append((batch.bucket_s, len(batch.waves)))
+            return orig(extractor, batch)
+
+    meta = create_metadata_from_files(str(tmp_path), split="train")
+    batcher = BucketBatcher(buckets_s=(1.0, 2.0), audio_budget_s=8.0)
+    pipe = ExtractionPipeline(Counting(), batcher=batcher,
+                              long_file_policy="chunk")
+    df = pipe.run_split(meta, "train", str(tmp_path / "out"))
+    assert len(df) == 3 and (df["chunks"] == 3).all()
+
+    # 6 full 2 s chunks at batch_size_for(2.0)=4 -> 2 batches; 3 one-second
+    # tails at batch_size_for(1.0)=8 -> 1 batch. Per-file batching would
+    # have been 3 calls of 4 x 2 s instead.
+    top_calls = [c for c in calls if c[0] == 2.0]
+    tail_calls = [c for c in calls if c[0] == 1.0]
+    assert len(top_calls) == 2 and len(tail_calls) == 1, calls
+
+    # equivalence with the single-file reference combiner
+    for i in range(3):
+        ref, n_chunks, _ = chunked_embeddings(
+            extractor, batcher, str(wav_dir / f"train_long{i}.wav"))
+        assert n_chunks == 3
+        row = df[df["filename"] == f"train_long{i}"].iloc[0]
+        col = extractor.column_names[0]
+        np.testing.assert_allclose(np.asarray(row[col], np.float64),
+                                   np.asarray(ref[col], np.float64),
+                                   rtol=5e-3, atol=1e-5)
