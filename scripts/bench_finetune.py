@@ -56,6 +56,10 @@ def main():
                     help="grad-accum scan unroll factor")
     ap.add_argument("--loops", type=int, default=5,
                     help="spaced timing loops; min wins (tunnel load noise)")
+    ap.add_argument("--clip_s", type=float, default=3.0,
+                    help="training clip bucket seconds (12.0 -> L=608 for "
+                         "the long-bucket einsum-vs-VJP-kernel training A/B; "
+                         "pair with STUTTER_TPU_LONG_ATTENTION_MIN_L)")
     args = ap.parse_args()
 
     if args.fused_short_attention:
@@ -79,7 +83,7 @@ def main():
     K = max(1, args.grad_accum)
     trainer = FinetuneTrainer(cfg, grad_accum=K)
 
-    batch, clip_s, sr = args.batch, 3.0, 16000
+    batch, clip_s, sr = args.batch, args.clip_s, 16000
     # frame-aligned bucket padding, exactly as cli/finetune.py batches
     # training clips (L=160; raw 3.0 s would be L=149, ~40% slower on MXU)
     from stutter_tpu.extract.batcher import BucketBatcher
@@ -143,6 +147,8 @@ def main():
         "loop_ms": [round(x * 1e3, 1) for x in loop_t],
         "fused_short_attention": args.fused_short_attention,
         "accum_unroll": args.accum_unroll,
+        "clip_s": clip_s,
+        "long_attention_min_l": os.environ.get("STUTTER_TPU_LONG_ATTENTION_MIN_L"),
         "loss": float(m["loss"]),
     }
     print(json.dumps(out))
