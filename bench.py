@@ -228,21 +228,25 @@ def main() -> None:
             pass
         measure_headline()  # loop 5, late in the run
 
-    # chunk-policy long-clip throughput: what a CORPUS of 30 s files gets
-    # under ``--long_files chunk --max_length 12`` — since the r4 cross-file
-    # chunk batching (extract/pipeline.py:_extract_chunked_rows), full 12 s
-    # chunks from all files share full-size top-bucket batches (einsum
-    # attention since the L>=1008 kernel-threshold retune) and each 6 s
-    # tail rides the 6 s bucket. Reported as the effective rate for 30 s
-    # content: 24 s at the full-batch 12 s-bucket rate + 6 s at the
-    # full-batch 6 s rate (assumes enough files to fill batches; host
-    # combine overlaps device compute via the 1-deep async pipeline).
+    # chunk-policy long-clip throughput ESTIMATE: what a CORPUS of 30 s files
+    # gets under ``--long_files chunk --max_length 12`` — since the r4
+    # cross-file chunk batching (extract/pipeline.py:_extract_chunked_rows),
+    # full 12 s chunks from all files share full-size top-bucket batches
+    # (einsum attention since the L>=1008 kernel-threshold retune) and each
+    # 6 s tail rides the 6 s bucket. The per-bucket RATES are measured here
+    # at the batcher's own default batch sizes; the 30 s-effective number is
+    # the analytic combination 24 s at the 12 s-bucket rate + 6 s at the 6 s
+    # rate (assumes enough files to fill batches; zero combine overhead —
+    # the 1-deep async pipeline overlaps host combine with device compute),
+    # hence the _estimated suffix. The real-path end-to-end number lives in
+    # the rehearsal artifact (scripts/rehearsal_v2.py wavlm stage).
     # Sweep provenance: artifacts/chunk_size_sweep_r4.json.
     long_chunk_tp = None
     if _budget_left() > 300:
         try:
             rates = {}
-            for cs, cb in ((12.0, 30), (6.0, 60)):
+            for cs in (12.0, 6.0):
+                cb = batcher.batch_size_for(cs)
                 ns_c = batcher.bucket_samples(cs)
                 cw_ = jax.device_put(
                     (rs.randn(cb, ns_c) * 0.1).astype(np.float32))
@@ -254,6 +258,39 @@ def main() -> None:
         except Exception:  # noqa: BLE001
             pass
         measure_headline()  # loop 6
+
+    # 20 s bucket: the boundary case of the 50x bar (VERDICT r4 #6) — snaps
+    # to exactly L=1008, the einsum/fused-kernel crossover point, so this
+    # tracks the fused long-attention kernel at its weakest measured margin.
+    long20_tp = None
+    if _budget_left() > 300:
+        try:
+            s20 = batcher.bucket_samples(20.0)
+            b20 = batcher.batch_size_for(20.0)
+            lw = jax.device_put(
+                (rs.randn(b20, s20) * 0.1).astype(np.float32))
+            ll = jax.device_put(np.full((b20,), s20, np.int32))
+            t20 = chain_time(scalar_bench, (bench_params, lw, ll), iters=5)
+            long20_tp = round(b20 * (s20 / sr) / t20, 2)
+            del lw, ll
+        except Exception:  # noqa: BLE001
+            pass
+        measure_headline()  # loop 7
+
+    # chunk-vs-native embedding fidelity on 30 s clips (VERDICT r4 #6): the
+    # chunk policy computes a DIFFERENT function (no cross-chunk attention,
+    # frame-weighted per-chunk pooling) — this tracks, per round, the worst
+    # per-layer/per-clip cosine distance between the two on the SAME bf16
+    # preset so the semantics delta is isolated from quantization. The full
+    # study (incl. downstream balanced accuracy) is
+    # scripts/chunk_quality_ab.py / artifacts/chunk_quality_r5.json.
+    chunk_cos = None
+    if _budget_left() > 400:
+        try:
+            chunk_cos = _chunk_vs_native_cosine(
+                fast, fast_params, batcher, rs, sr)
+        except Exception:  # noqa: BLE001
+            pass
 
     t_step = min(loop_s)
     throughput = batch * (n_samples / sr) / t_step
@@ -310,13 +347,76 @@ def main() -> None:
         "fast_audio_sec_per_sec": fast_tp,
         "turbo_audio_sec_per_sec": turbo_tp,
         "long_bucket_30s_audio_sec_per_sec": long_tp,
-        "long_chunk_policy_30s_audio_sec_per_sec": long_chunk_tp,
+        "long_bucket_20s_audio_sec_per_sec": long20_tp,
+        "long_chunk_policy_30s_audio_sec_per_sec_estimated": long_chunk_tp,
+        "chunk_vs_native_cosine_30s": chunk_cos,
         "turbo_fidelity_cosine_distance_vs_f32": turbo_fidelity,
         **whisper_stats,
         **finetune_stats,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
+
+
+def _chunk_vs_native_cosine(fwd, params, batcher, rs, sr: int,
+                            n_clips: int = 2) -> float:
+    """Worst per-layer/per-clip cosine distance: chunked vs native 30 s.
+
+    Replicates the chunk policy's math inline (12 s cap: full chunks +
+    coverage-picked tail bucket, per-chunk masked-mean pooling, combination
+    weighted by true frame count — extract/pipeline.py:_extract_chunked_rows)
+    against the native full-clip forward on the SAME params/preset, so the
+    number isolates the no-cross-chunk-attention semantics change."""
+    import jax
+
+    from stutter_tpu.models.wavlm import WavLMConfig, wavlm_feature_lengths
+
+    cfg = WavLMConfig.large()
+    n30 = batcher.bucket_samples(30.0)
+    waves = (rs.randn(n_clips, n30) * 0.1).astype(np.float32)
+    lengths = np.full((n_clips,), n30, np.int32)
+    native = np.asarray(
+        fwd(params, jax.device_put(waves), jax.device_put(lengths)),
+        np.float64)  # [S, B, D]
+
+    top = batcher.bucket_samples(12.0)
+    by_bucket: dict[float, list] = {}
+    for b in range(n_clips):
+        w = waves[b]
+        for c in range(-(-len(w) // top)):
+            seg = w[c * top:(c + 1) * top]
+            bucket = next(
+                (bs for bs in batcher.buckets_s
+                 if len(seg) <= batcher.bucket_samples(bs)),
+                batcher.buckets_s[-1])
+            by_bucket.setdefault(bucket, []).append((b, seg))
+
+    import jax.numpy as jnp
+
+    sums = np.zeros_like(native)  # [S, B, D] f64 weighted sums
+    wsum = np.zeros((n_clips,), np.float64)
+    for bucket, items in by_bucket.items():
+        ns = batcher.bucket_samples(bucket)
+        cw = np.zeros((len(items), ns), np.float32)
+        cl = np.zeros((len(items),), np.int32)
+        for i, (_, seg) in enumerate(items):
+            cw[i, :len(seg)] = seg
+            cl[i] = len(seg)
+        emb = np.asarray(
+            fwd(params, jax.device_put(cw), jax.device_put(cl)), np.float64)
+        frames = np.asarray(wavlm_feature_lengths(cfg, jnp.asarray(cl)))
+        for i, (b, _) in enumerate(items):
+            sums[:, b] += emb[:, i] * float(frames[i])
+            wsum[b] += float(frames[i])
+    combined = sums / wsum[None, :, None]
+
+    worst = 0.0
+    for s in range(native.shape[0]):
+        for b in range(n_clips):
+            u, v = native[s, b], combined[s, b]
+            worst = max(worst, 1.0 - u @ v /
+                        (np.linalg.norm(u) * np.linalg.norm(v)))
+    return float(worst)
 
 
 def _whisper_throughputs(batch: int = 8) -> dict:
@@ -445,7 +545,15 @@ def _finetune_throughput(batch: int = 16, grad_accum: int = 4) -> dict:
     cw = np.ones((8,), np.float32)
 
     trainer.step_accum(mbs, cw)  # compile + first exec
-    # min over >= 4 async-chained loops — the same discipline as the wavlm
+    # deep warmup: a full untimed chained block — the first post-compile
+    # executions through the tunnel are systematically slow and one step is
+    # not enough to shed that (r4: the driver's finetune number ran 10%
+    # under the builder's same-tree capture while the wavlm headline
+    # matched; this section is the longest-running and most exposed)
+    for _ in range(3):
+        trainer.step_accum(mbs, cw, sync=False)
+    trainer.step_accum(mbs, cw)
+    # min over >= 7 async-chained loops — the same discipline as the wavlm
     # headline (the shared tunneled TPU shows ±10-30% load noise on
     # multi-minute scales; a single whole-block timing folds that noise into
     # the number — the r3 driver recorded 592 while the interleaved-A/B min
@@ -453,8 +561,8 @@ def _finetune_throughput(batch: int = 16, grad_accum: int = 4) -> dict:
     # recorded so the artifact keeps the variance visible.
     loops: list[float] = []
     m = {"loss": np.nan}
-    iters = 8
-    for _ in range(5):
+    iters = 6
+    for _ in range(7):
         t0 = time.perf_counter()
         for _ in range(iters - 1):
             trainer.step_accum(mbs, cw, sync=False)

@@ -54,6 +54,10 @@ def main():
                          "path")
     ap.add_argument("--accum_unroll", type=int, default=1,
                     help="grad-accum scan unroll factor")
+    ap.add_argument("--int8_forward", action="store_true",
+                    help="int8 W8A8 forward GEMMs inside the training step "
+                         "(straight-through backward — ops/quant.qdot_ste); "
+                         "gate on scripts/finetune_int8_grad_check.py first")
     ap.add_argument("--loops", type=int, default=5,
                     help="spaced timing loops; min wins (tunnel load noise)")
     ap.add_argument("--clip_s", type=float, default=3.0,
@@ -79,7 +83,8 @@ def main():
                          remat_policy=args.remat_policy,
                          freeze_backbone=args.freeze_backbone,
                          cast_params=not args.f32_params,
-                         accum_unroll=args.accum_unroll)
+                         accum_unroll=args.accum_unroll,
+                         int8_forward=args.int8_forward)
     K = max(1, args.grad_accum)
     trainer = FinetuneTrainer(cfg, grad_accum=K)
 
@@ -147,6 +152,7 @@ def main():
         "loop_ms": [round(x * 1e3, 1) for x in loop_t],
         "fused_short_attention": args.fused_short_attention,
         "accum_unroll": args.accum_unroll,
+        "int8_forward": args.int8_forward,
         "clip_s": clip_s,
         "long_attention_min_l": os.environ.get("STUTTER_TPU_LONG_ATTENTION_MIN_L"),
         "loss": float(m["loss"]),

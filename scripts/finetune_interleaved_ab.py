@@ -46,8 +46,16 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--skip", default="",
                     help="comma-separated variant letters to skip, e.g. 'D'")
+    ap.add_argument("--only", default="",
+                    help="comma-separated variant letters to run exclusively "
+                         "(e.g. 'M,N' for the long-bucket kernel A/B)")
+    ap.add_argument("--clip_s", type=float, default=3.0,
+                    help="training clip bucket seconds (20/30 engage the "
+                         "long-attention dispatch at L=1008/1504)")
+    ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
     skip = set(args.skip.upper().split(","))
+    only = set(x for x in args.only.upper().split(",") if x)
 
     from stutter_tpu.cli.common import enable_compilation_cache
     enable_compilation_cache()
@@ -58,7 +66,7 @@ def main():
         FinetuneConfig, init_finetune_params, make_optimizer, make_train_step)
 
     model_cfg = WavLMConfig.large()
-    n = BucketBatcher(frame_align=(*model_cfg.stem_geometry, 16)).bucket_samples(3.0)
+    n = BucketBatcher(frame_align=(*model_cfg.stem_geometry, 16)).bucket_samples(args.clip_s)
     sr = 16000
     rs = np.random.RandomState(0)
     base = FinetuneConfig(model=model_cfg, n_classes=8)
@@ -70,10 +78,11 @@ def main():
     opt_state = tx.init(params)
     cw = np.asarray(np.ones((8,), np.float32))
 
-    def make(batch, accum, remat, policy="layer", unroll=1, env=None):
+    def make(batch, accum, remat, policy="layer", unroll=1, env=None,
+             int8=False):
         cfg = FinetuneConfig(model=model_cfg, n_classes=8,
                              remat_encoder=remat, remat_policy=policy,
-                             accum_unroll=unroll)
+                             accum_unroll=unroll, int8_forward=int8)
         step = jax.jit(make_train_step(cfg, tx, accum), donate_argnums=(0, 1))
         # accum == 1 builds the plain step, whose batch arrays have NO
         # leading microbatch axis (make_train_step contract)
@@ -120,6 +129,22 @@ def main():
         variants["L_b16a4_fusedshort_unroll4"] = make(
             16, 4, True, unroll=4,
             env={"STUTTER_TPU_FUSED_SHORT_ATTENTION": "1"})
+    # round-5 variants. M/N: the LONG-bucket training kernel A/B (VERDICT r4
+    # #8) — run with --clip_s 20 or 30 and --only M,N; b4·K4 keeps the
+    # einsum variant's [B, H, L, L] chain inside HBM and the backward graph
+    # inside the remote compile service's limit. O/P: int8 forward GEMMs in
+    # the step (ops/quant.qdot_ste straight-through backward, VERDICT r4 #2).
+    if "M" not in skip:
+        variants["M_b4a4_einsum_long"] = make(
+            4, 4, True, env={"STUTTER_TPU_LONG_ATTENTION_MIN_L": "99999"})
+    if "N" not in skip:
+        variants["N_b4a4_kernel_long"] = make(4, 4, True)
+    if "O" not in skip:
+        variants["O_b16a4_int8fwd"] = make(16, 4, True, int8=True)
+    if "P" not in skip:
+        variants["P_b16a4_bf16_ctrl"] = make(16, 4, True)
+    if only:
+        variants = {k: v for k, v in variants.items() if k.split("_")[0] in only}
 
     key = jax.random.key(1)
     dead = set()
@@ -171,7 +196,12 @@ def main():
             "audio_s_per_s": round(eff * (n / sr) / t, 1),
             "loop_ms": [round(x * 1e3, 1) for x in times[name]],
         }
+    out["clip_s"] = args.clip_s
     print(json.dumps(out))
+    if args.out:
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -296,7 +296,7 @@ class WhisperExtractor:
         ]
         # True encoder frames covering n_samples of audio (mel hop 160, conv
         # stem stride 2), capped at the fixed 1500 positions. Used ONLY as the
-        # chunk-combination weight in _extract_chunked — the encoder itself
+        # chunk-combination weight in chunked extraction — the encoder itself
         # still pools over all 1500 padded positions (reference quirk kept),
         # but a 2 s tail chunk must not weigh as much as a full 30 s chunk.
         from stutter_tpu.ops.logmel import WHISPER_HOP
@@ -565,22 +565,6 @@ class ExtractionPipeline:
             save_embeddings(df, output_dir, split, expected_dim=self.extractor.embedding_dim)
         return df
 
-    def _extract_chunked(self, meta_row, split: str) -> dict | None:
-        res = chunked_embeddings(self.extractor, self.batcher, meta_row["path"])
-        if res is None:
-            return None
-        combined, n_chunks, audio_s = res
-        entry = {
-            "filename": meta_row["filename"], "path": meta_row["path"],
-            "split": split, "chunks": n_chunks, "_audio_s": audio_s,
-        }
-        if "label" in meta_row and not pd.isna(meta_row["label"]):
-            entry["label"] = meta_row["label"]
-        entry.update(combined)
-        logger.info("chunked %s: %d chunks (%.1f s)", meta_row["filename"],
-                    n_chunks, audio_s)
-        return entry
-
     def _extract_chunked_rows(self, todo, long_rows: list[int], split: str,
                               on_file_done) -> None:
         """Cross-file chunk batching for the 'chunk' long-file policy.
@@ -698,9 +682,14 @@ class ExtractionPipeline:
                             "audio_s": float(len(wave)) / sr}
             for c in range(n_chunks):
                 seg = wave[c * top_samples:(c + 1) * top_samples]
-                tail_s = len(seg) / sr
-                bucket = next((b for b in self.batcher.buckets_s
-                               if tail_s <= b), self.batcher.buckets_s[-1])
+                # pick the tail bucket by SAMPLE coverage, not nominal
+                # seconds: frame-aligned bucket_samples sit up to stride-1
+                # samples under bucket_s*sr, and choosing by seconds could
+                # trim the tail by that sliver vs the single-file combiner
+                bucket = next(
+                    (b for b in self.batcher.buckets_s
+                     if len(seg) <= self.batcher.bucket_samples(b)),
+                    self.batcher.buckets_s[-1])
                 push(bucket, seg, row_idx)
 
         for bucket_s in list(pend):

@@ -16,11 +16,13 @@ Scheme (standard W8A8 dynamic quantization):
 - accumulation in int32 on the MXU (preferred_element_type), dequantized by
   the rank-1 outer product of the two scale vectors
 
-This is an inference-only path: jnp.round has a zero gradient, so quantized
-params must never reach a training step (the fine-tune path only ever uses
-the fast/fidelity presets). Softmax, layer norms, attention logits, biases
-and residuals all stay in bf16/f32 — only the big projection/FFN GEMMs drop
-to int8, which is where the 2x MXU rate lives.
+``qdot``/``dense`` are inference paths: jnp.round has a zero gradient, so
+statically-quantized params must never reach a training step directly. The
+training counterpart is ``qdot_ste`` (straight-through estimator, live
+per-step weight re-quantization), opted into via
+``FinetuneConfig.int8_forward``. Softmax, layer norms, attention logits,
+biases and residuals all stay in bf16/f32 — only the big projection/FFN
+GEMMs drop to int8, which is where the 2x MXU rate lives.
 
 No reference equivalent (the reference runs f32 torch on GPU); this is a
 beyond-parity performance feature. Fidelity is measured, not assumed:
@@ -100,11 +102,50 @@ def qdot_asym(x: jax.Array, wq: jax.Array, sw: jax.Array,
     return acc.astype(jnp.float32) * s * sw + z * colsum
 
 
+@jax.custom_vjp
+def qdot_ste(x: jax.Array, w: jax.Array) -> jax.Array:
+    """W8A8 dynamic-quant matmul with a straight-through-estimator backward.
+
+    The TRAINING-step counterpart of ``qdot``: the forward quantizes BOTH
+    the activation (per-token) and the live weight (per-output-channel,
+    re-quantized every call — the weight changes each optimizer step) and
+    runs the int8 MXU GEMM; the backward ignores the quantization entirely
+    and differentiates the underlying bf16 matmul (dx = g W^T, dW = x^T g),
+    the standard STE used by quantization-aware training. This makes the
+    forward (and any remat re-forward) ride the 2x int8 MXU rate while
+    gradients stay exactly the bf16 step's *given the same residuals* —
+    end-to-end grads differ only through the quantization noise in the
+    activations, which scripts/finetune_int8_grad_check.py measures.
+    """
+    wq = quantize_weight(w)
+    return qdot(x, wq["q"], wq["s"])
+
+
+def _qdot_ste_fwd(x, w):
+    return qdot_ste(x, w), (x, w)
+
+
+def _qdot_ste_bwd(res, g):
+    x, w = res
+    # cotangent arrives f32 (the primal output is f32); run the backward
+    # GEMMs in the compute dtype like the plain einsum path's transpose would
+    gb = g.astype(w.dtype)
+    dx = jnp.einsum("...n,kn->...k", gb, w).astype(x.dtype)
+    dw = jnp.einsum("...k,...n->kn", x, gb).astype(w.dtype)
+    return dx, dw
+
+
+qdot_ste.defvjp(_qdot_ste_fwd, _qdot_ste_bwd)
+
+
 def dense(x: jax.Array, w, precision) -> jax.Array:
     """Dispatch a dense projection: quantized dict -> int8 path (result cast
     back to x.dtype so downstream elementwise/gelu/flash code is unchanged);
-    plain array -> the usual einsum."""
+    {"ste": w} dict -> the trainable int8 STE path; plain array -> the usual
+    einsum."""
     if isinstance(w, dict):
+        if "ste" in w:
+            return qdot_ste(x, w["ste"]).astype(x.dtype)
         return qdot(x, w["q"], w["s"]).astype(x.dtype)
     return jnp.einsum("...d,de->...e", x, w, precision=precision)
 

@@ -51,6 +51,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from stutter_tpu.ops.wavlm_attention_pallas import wavlm_fused_attention_long
 
+# Short-kernel BACKWARD batch block: 8, NOT the forward's 16. The backward
+# holds ~6 [BB, L, L] f32 temporaries (s, p, e, a, da, dp) vs the forward's
+# ~4, and BB=16 at L=160 overflows the 16 MB scoped VMEM — the remote compile
+# service crashes opaquely (HTTP 500, tpu_compile_helper exit 1) instead of
+# reporting the overflow; BB=8 compiles and runs (measured round 4).
+SHORT_BWD_BATCH_BLOCK = 8
+
+
+def _short_bwd_batch_block(batch: int) -> int:
+    """Batch tile for the short backward kernel (1 when B isn't divisible)."""
+    bb = SHORT_BWD_BATCH_BLOCK
+    return bb if batch % bb == 0 else 1
+
 
 def _bwd_dqkv_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, mask_ref,
                      do_ref, dsum_ref,
@@ -186,12 +199,7 @@ def _attention_short_fwd(q, k, v, position_bias, gate, key_mask_bias,
 def _attention_short_bwd(interpret, res, do):
     q, k, v, position_bias, gate, key_mask_bias, out = res
     B, H, L, d = q.shape
-    # batch-block 8, NOT the forward's 16: the backward holds ~6 [BB, L, L]
-    # f32 temporaries (s, p, e, a, da, dp) vs the forward's ~4, and BB=16 at
-    # L=160 overflows the 16 MB scoped VMEM — the remote compile service
-    # crashes (HTTP 500, tpu_compile_helper exit 1) rather than reporting
-    # the overflow; BB=8 compiles and runs (measured round 4, /tmp probes)
-    BB = 8 if B % 8 == 0 else 1
+    BB = _short_bwd_batch_block(B)  # see SHORT_BWD_BATCH_BLOCK note above
     dsum = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
                    keepdims=True)
     gate4 = gate[..., None]

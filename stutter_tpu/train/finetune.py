@@ -89,6 +89,14 @@ class FinetuneConfig:
     # DP-sharded operands replicated; FinetuneTrainer resolves this at
     # construction). Short buckets are unaffected either way.
     use_flash_attention: bool | None = None
+    # int8 forward GEMMs inside the training step (ops/quant.qdot_ste):
+    # the forward AND the per-layer remat re-forward ride the 2x int8 MXU
+    # rate while the backward GEMMs stay bf16 with straight-through
+    # gradients. The step's FLOP budget is ~4 forward-equivalents (fwd +
+    # remat refwd + 2x bwd); int8 on the two forward units caps the ideal
+    # speedup at ~1.33x over the bf16 roofline. Gradient fidelity vs the
+    # bf16 step is measured, not assumed: scripts/finetune_int8_grad_check.py.
+    int8_forward: bool = False
     seed: int = 0
 
 
@@ -136,6 +144,19 @@ def finetune_forward(
             if p.dtype == jnp.float32 else p,
             backbone,
         )
+    if cfg.int8_forward:
+        # Wrap the six big per-layer GEMM weights in the {"ste": w} marker
+        # that ops/quant.dense dispatches to qdot_ste — a pure pytree
+        # re-labeling, so gradients flow through to the (cast) weights and
+        # from there to the f32 masters unchanged.
+        from stutter_tpu.ops.quant import WAVLM_QUANT_KEYS
+
+        enc = backbone["encoder"]
+        layers = {
+            k: ({"ste": v} if k in WAVLM_QUANT_KEYS else v)
+            for k, v in enc["layers"].items()
+        }
+        backbone = {**backbone, "encoder": {**enc, "layers": layers}}
     sa_rng = None
     if train and rng is not None and cfg.model.apply_spec_augment:
         rng, sa_rng = jax.random.split(rng)

@@ -157,11 +157,12 @@ def test_short_backward_block_is_vmem_safe():
     """Regression: the short BACKWARD kernel must tile the batch at BB=8,
     not the forward's 16 — its ~6 [BB, L, L] f32 temporaries overflow the
     16 MB scoped VMEM at BB=16/L=160 and the remote compile service crashes
-    opaquely (round 4, DESIGN.md §10). White-box check of the block choice
-    so a refactor can't silently mirror the forward again."""
-    import inspect
-
+    opaquely (round 4, DESIGN.md §10). Checks the exposed block-choice
+    helper so a refactor can't silently mirror the forward again."""
     from stutter_tpu.ops import wavlm_attention_vjp as m
 
-    src = inspect.getsource(m._attention_short_bwd)
-    assert "BB = 8 if B % 8 == 0 else 1" in src
+    assert m.SHORT_BWD_BATCH_BLOCK <= 8
+    assert m._short_bwd_batch_block(16) == m.SHORT_BWD_BATCH_BLOCK
+    assert m._short_bwd_batch_block(8) == m.SHORT_BWD_BATCH_BLOCK
+    # non-divisible batches fall back to per-item tiling, never the forward's 16
+    assert m._short_bwd_batch_block(6) == 1

@@ -280,3 +280,78 @@ def test_turbo_whisper_pipeline_end_to_end(tmp_path, rng):
     assert len(npys) == 6  # 3 encoder + 3 decoder taps
     for f in npys:
         assert np.isfinite(np.load(f)).all()
+
+
+def test_qdot_ste_backward_is_exact_ste(rng):
+    """qdot_ste: int8 forward, straight-through backward — the grads must be
+    BIT-IDENTICAL to the plain bf16 einsum's transpose given the same
+    inputs (the STE contract: quantization is invisible to autodiff)."""
+    from stutter_tpu.ops.quant import qdot_ste
+
+    x = jnp.asarray(rng.randn(4, 6, 32), jnp.bfloat16)
+    w = jnp.asarray(rng.randn(32, 16) * 0.1, jnp.bfloat16)
+    coeff = jnp.asarray(rng.randn(16), jnp.float32)
+
+    def f_ste(x, w):
+        return jnp.sum(qdot_ste(x, w) * coeff)
+
+    def f_ref(x, w):
+        y = jnp.einsum("blk,kn->bln", x, w).astype(jnp.float32)
+        return jnp.sum(y * coeff)
+
+    g_ste = jax.grad(f_ste, argnums=(0, 1))(x, w)
+    g_ref = jax.grad(f_ref, argnums=(0, 1))(x, w)
+    for a, b in zip(g_ste, g_ref):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+    # and the forward really quantized (close to, but not equal to, bf16)
+    y_ste = np.asarray(qdot_ste(x, w))
+    y_ref = np.asarray(jnp.einsum("blk,kn->bln", x, w), np.float32)
+    rel = np.linalg.norm(y_ste - y_ref) / np.linalg.norm(y_ref)
+    assert 1e-5 < rel < 0.03, rel
+
+
+def test_int8_forward_finetune_grads_close_to_bf16(rng):
+    """FinetuneConfig.int8_forward: the step's gradients differ from the
+    bf16 step only through activation quantization noise — on a tiny model
+    the flattened grad cosine must stay near 1, and the loss finite."""
+    import dataclasses
+
+    from stutter_tpu.models import WavLMConfig
+    from stutter_tpu.train.finetune import (
+        FinetuneConfig,
+        finetune_forward,
+        init_finetune_params,
+    )
+    from stutter_tpu.train.heads import weighted_softmax_xent
+
+    model = dataclasses.replace(WavLMConfig.tiny(32, 2, 4),
+                                apply_spec_augment=False)
+    base = FinetuneConfig(model=model, n_classes=3, head_hidden=(16,),
+                          head_dropout=0.0)
+    cfg8 = dataclasses.replace(base, int8_forward=True)
+    params = init_finetune_params(base)
+
+    b, n = 4, 3200  # tiny stem downsamples 20x -> L=160
+    waves = jnp.asarray((rng.randn(b, n) * 0.1), jnp.float32)
+    lengths = jnp.full((b,), n, jnp.int32)
+    labels = jnp.asarray(rng.randint(0, 3, size=b), jnp.int32)
+    cw = jnp.ones((3,), jnp.float32)
+
+    def loss(p, cfg):
+        logits = finetune_forward(p, waves, lengths, cfg, train=False)
+        return weighted_softmax_xent(logits, labels, cw)
+
+    l16, g16 = jax.value_and_grad(lambda p: loss(p, base))(params)
+    l8, g8 = jax.value_and_grad(lambda p: loss(p, cfg8))(params)
+    assert np.isfinite(float(l8)) and np.isfinite(float(l16))
+
+    a = np.concatenate([np.asarray(x, np.float64).ravel()
+                        for x in jax.tree.leaves(g16)])
+    c = np.concatenate([np.asarray(x, np.float64).ravel()
+                        for x in jax.tree.leaves(g8)])
+    cos = a @ c / (np.linalg.norm(a) * np.linalg.norm(c))
+    assert cos > 0.95, cos
+    # and it is genuinely a different forward (quantization engaged)
+    assert abs(float(l8) - float(l16)) > 0
