@@ -527,8 +527,15 @@ def _finetune_throughput(batch: int = 16, grad_accum: int = 4) -> dict:
     from stutter_tpu.utils.benchmarking import V5E_BF16_PEAK, wavlm_flops
 
     model_cfg = WavLMConfig.large()
+    # int8 forward GEMMs (ops/quant.qdot_ste): fwd + remat re-forward ride
+    # the 2x int8 MXU rate, backward stays bf16 with exact-STE gradients.
+    # Gated on measured gradient fidelity, not assumed: overall grad cosine
+    # distance vs the bf16 step 5.3e-4 on the real chip
+    # (artifacts/finetune_int8_grad_r5.json); end-to-end interleaved A/B
+    # 755.9 vs 725.1 audio-s/s (artifacts/finetune_int8_ab_r5.json).
     trainer = FinetuneTrainer(
-        FinetuneConfig(model=model_cfg, n_classes=8), grad_accum=grad_accum)
+        FinetuneConfig(model=model_cfg, n_classes=8, int8_forward=True),
+        grad_accum=grad_accum)
 
     clip_s, sr = 3.0, 16000
     # frame-aligned bucket, as cli/finetune.py batches training clips
@@ -582,6 +589,7 @@ def _finetune_throughput(batch: int = 16, grad_accum: int = 4) -> dict:
         "finetune_mfu_lower_bound": round(
             (3 * enc_flops + stem_mult * stem_flops) * grad_accum / t / V5E_BF16_PEAK, 3),
         "finetune_loop_ms": [round(x * 1e3, 1) for x in loops],
+        "finetune_int8_forward": True,
         "finetune_loss_finite": bool(np.isfinite(m["loss"])),
     }
 

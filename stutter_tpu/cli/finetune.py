@@ -60,6 +60,12 @@ def parse_args(argv=None):
                         help="Restore the latest state under --checkpoint_dir "
                              "and continue from its epoch (rng/dropout state "
                              "is not part of the checkpoint)")
+    parser.add_argument("--int8_forward", action="store_true",
+                        help="int8 W8A8 forward GEMMs inside the training "
+                             "step (straight-through backward). Measured on "
+                             "v5e: +4%% step throughput at grad cosine "
+                             "distance 5.3e-4 vs the bf16 step "
+                             "(artifacts/finetune_int8_grad_r5.json)")
     parser.add_argument("--random_init", action="store_true")
     add_mesh_args(parser)
     return parser.parse_args(argv)
@@ -100,6 +106,7 @@ def main(argv=None) -> int:
         freeze_backbone=args.freeze_backbone,
         remat_encoder=not args.no_remat,
         remat_policy=args.remat_policy,
+        int8_forward=args.int8_forward,
         precision=__import__("jax").lax.Precision.DEFAULT,
         activation_dtype=jnp.bfloat16,
     )
