@@ -58,9 +58,13 @@ def make_labelled_long_corpus(root: str, n_train: int, n_test: int,
     os.makedirs(wav_dir, exist_ok=True)
     os.makedirs(lab_dir, exist_ok=True)
 
-    f0_base = {0: 130.0, 1: 200.0, 2: 310.0, 3: 480.0}
-    am_rate = {0: 2.0, 1: 4.5, 2: 8.0, 3: 13.0}
-    n_bursts = {0: 2, 1: 6, 2: 12, 3: 20}
+    # class centers overlap under the +/-25% jitter and the noise floor is
+    # high enough to keep accuracy off the ceiling — at-ceiling cells
+    # (0.95-1.0 on a 60-clip test, round-5 first run) cannot resolve a
+    # <=1 pt criterion, so the task must have headroom in both directions
+    f0_base = {0: 150.0, 1: 210.0, 2: 300.0, 3: 420.0}
+    am_rate = {0: 2.5, 1: 4.5, 2: 7.5, 3: 12.0}
+    n_bursts = {0: 2, 1: 5, 2: 10, 3: 16}
 
     for split, n in (("train", n_train), ("test", n_test)):
         csv_rows = []
@@ -77,7 +81,7 @@ def make_labelled_long_corpus(root: str, n_train: int, n_test: int,
                 pos = rng.randint(0, max(1, len(t) - sr // 5))
                 x[pos:pos + sr // 5] += 0.3 * rng.randn(
                     min(sr // 5, len(t) - pos))
-            x += 0.08 * rng.randn(len(t))
+            x += 0.30 * rng.randn(len(t))
             x = (x / max(1.0, np.abs(x).max() * 1.05)).astype(np.float32)
             name = f"{split}_{i:04d}.wav"
             write_wav(os.path.join(wav_dir, name), x, sr)
@@ -113,8 +117,8 @@ def cosine_rows(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n_train", type=int, default=120)
-    ap.add_argument("--n_test", type=int, default=60)
+    ap.add_argument("--n_train", type=int, default=240)
+    ap.add_argument("--n_test", type=int, default=240)
     ap.add_argument("--presets", type=str, default="fast,turbo")
     ap.add_argument("--chunk_cap_s", type=float, default=12.0)
     ap.add_argument("--classifier", type=str, default="svm")

@@ -187,3 +187,64 @@ def test_chunked_files_share_batches(tmp_path, rng):
         np.testing.assert_allclose(np.asarray(row[col], np.float64),
                                    np.asarray(ref[col], np.float64),
                                    rtol=5e-3, atol=1e-5)
+
+
+def test_chunk_vs_native_embedding_close(tmp_path, rng):
+    """Pin chunk-vs-native closeness at the default long-file policy.
+
+    The chunk policy computes a different function from the native
+    full-clip forward (no cross-chunk attention, frame-weighted per-chunk
+    pooling). Round 5 measured the delta at real scale on the real TPU
+    (artifacts/chunk_quality_r5.json: per-layer cosine mean ~8e-4, worst
+    ~4e-3 on 20-30 s clips, WavLM-Large); this CPU test pins the same
+    comparison on a tiny model so a regression in the chunk combination
+    (weighting, tail bucketing, batch sharing) shows up as a cosine blowup.
+    """
+    import jax
+
+    from stutter_tpu.audio.wavio import write_wav
+    from stutter_tpu.extract import (
+        BucketBatcher,
+        ExtractionPipeline,
+        WavLMExtractor,
+        create_metadata_from_files,
+    )
+    from stutter_tpu.models import WavLMConfig, init_wavlm_params
+
+    wav_dir = tmp_path / "wav"
+    wav_dir.mkdir()
+    # deterministic tonal signal (tiny-stem frames: 4 s -> L=3200 is too
+    # big; keep clips ~2 s -> L=1600 einsum on CPU is fine at hidden 32)
+    sr = 16000
+    t = np.arange(2 * sr) / sr
+    x = (0.4 * np.sin(2 * np.pi * 220 * t)
+         + 0.1 * np.asarray(rng.randn(len(t)), np.float32)).astype(np.float32)
+    write_wav(str(wav_dir / "train_clip.wav"), x, sr)
+
+    cfg = WavLMConfig.tiny(hidden_size=32, layers=2, heads=4)
+    params = init_wavlm_params(jax.random.key(0), cfg)
+    extractor = WavLMExtractor(cfg, params)
+    meta = create_metadata_from_files(str(tmp_path), split="train")
+
+    # native: one bucket covers the whole clip
+    native = ExtractionPipeline(
+        extractor,
+        batcher=BucketBatcher(buckets_s=(2.0,), audio_budget_s=8.0),
+        long_file_policy="trim",
+    ).run_split(meta, "train", str(tmp_path / "out_native"))
+    # chunk: 0.5 s cap -> 4 chunks per clip
+    chunked = ExtractionPipeline(
+        extractor,
+        batcher=BucketBatcher(buckets_s=(0.25, 0.5), audio_budget_s=8.0),
+        long_file_policy="chunk",
+    ).run_split(meta, "train", str(tmp_path / "out_chunk"))
+
+    assert len(native) == 1 and len(chunked) == 1
+    for col in extractor.column_names:
+        a = np.asarray(native.iloc[0][col], np.float64)
+        b = np.asarray(chunked.iloc[0][col], np.float64)
+        cos = 1.0 - a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        # tiny random model, 4x chunking of a stationary signal: the
+        # semantics delta stays small; a combiner bug (wrong weights, tail
+        # trim, row mixup) lands orders of magnitude above this
+        assert cos < 0.02, (col, cos)
