@@ -112,7 +112,19 @@ def main() -> None:
     if turbo_fidelity <= 1e-3:
         preset, bench_params = "turbo", turbo_params
     elif fidelity <= 1e-3:
-        preset, bench_params = "fast", fast_params
+        # graded demotion: before falling all the way to bf16 fast, try
+        # int8 on the FFN GEMMs only (turbo_ffn — 2/3 of the GEMM FLOPs at
+        # a third of the quant sites; the attention projections, the usual
+        # outlier victims, stay bf16). Only evaluated on the demotion path
+        # so the healthy-turbo bench pays nothing for it.
+        tf_params = cast_params_for_preset(params, "turbo_ffn")
+        tf_fidelity = max_cosine_distance(
+            np.asarray(fast(tf_params, small_w, small_l), np.float64))
+        if tf_fidelity <= 1e-3:
+            preset, bench_params = "turbo_ffn", tf_params
+        else:
+            preset, bench_params = "fast", fast_params
+        del tf_params
     else:
         preset, bench_params = "fidelity", params
 

@@ -58,7 +58,17 @@ PRESETS = {
     # on the 2x-rate int8 MXU path. Inference-only; fidelity is measured and
     # reported by bench.py rather than guaranteed <=1e-3.
     "turbo": dict(precision=jax.lax.Precision.DEFAULT, activation_dtype=jnp.bfloat16),
+    # turbo_ffn: the graded demotion step between turbo and fast — int8 on
+    # the FFN GEMMs ONLY (wavlm ff_w1/ff_w2, whisper fc1/fc2 = ~2/3 of the
+    # transformer GEMM FLOPs), attention projections stay bf16. For real
+    # checkpoints whose attention inputs carry int8-hostile outlier
+    # channels (the classic LN-output outliers), this keeps most of the
+    # int8 win at a third of the quantization sites; bench.py's demotion
+    # ladder tries it before falling all the way back to fast.
+    "turbo_ffn": dict(precision=jax.lax.Precision.DEFAULT, activation_dtype=jnp.bfloat16),
 }
+
+_FFN_QUANT_KEYS = ("ff_w1", "ff_w2", "fc1_w", "fc2_w")
 
 
 def cast_params_for_preset(params, preset: str):
@@ -71,7 +81,7 @@ def cast_params_for_preset(params, preset: str):
     weights (WavLM q/k/v/o + ff, Whisper attn/xattn + fc) are replaced by
     int8 {q, s} pairs; ops/quant.dense dispatches on that structure inside
     the layer bodies. Conv stems, biases, norms and embeddings stay bf16."""
-    if preset not in ("fast", "turbo"):
+    if preset not in ("fast", "turbo", "turbo_ffn"):
         return params
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16)
@@ -79,7 +89,7 @@ def cast_params_for_preset(params, preset: str):
         else x,
         params,
     )
-    if preset == "turbo":
+    if preset in ("turbo", "turbo_ffn"):
         from stutter_tpu.ops.quant import (
             WAVLM_QUANT_KEYS,
             WHISPER_QUANT_KEYS,
@@ -99,7 +109,9 @@ def cast_params_for_preset(params, preset: str):
         # (2.7e-4) already has 3.7x margin under the 1e-3 bar.
         whisper_enc_keys = tuple(k for k in WHISPER_QUANT_KEYS
                                  if k != "attn_o_w")
-        for block, keys in (("encoder", WAVLM_QUANT_KEYS + whisper_enc_keys),):
+        quant_keys = (_FFN_QUANT_KEYS if preset == "turbo_ffn"
+                      else WAVLM_QUANT_KEYS + whisper_enc_keys)
+        for block, keys in (("encoder", quant_keys),):
             if block in params and isinstance(params[block], dict) \
                     and "layers" in params[block]:
                 params[block] = dict(params[block])
@@ -208,7 +220,7 @@ class WavLMExtractor:
         opts = PRESETS[preset]
         # fast/turbo ship waveforms host->device as per-clip-scaled int16
         # (encode_waves_i16); the fidelity preset keeps f32
-        self._transfer_i16 = preset in ("fast", "turbo")
+        self._transfer_i16 = preset in ("fast", "turbo", "turbo_ffn")
         tp = mesh is not None and mesh.model_size > 1
         params = cast_params_for_preset(params, preset)
         if tp:
@@ -305,7 +317,7 @@ class WhisperExtractor:
             1, min(cfg.max_source_positions, int(n_samples) // (WHISPER_HOP * 2))
         )
         opts = PRESETS[preset]
-        self._transfer_i16 = preset in ("fast", "turbo")  # see encode_waves_i16
+        self._transfer_i16 = preset in ("fast", "turbo", "turbo_ffn")  # see encode_waves_i16
         tp = mesh is not None and mesh.model_size > 1
         params = cast_params_for_preset(params, preset)
         if tp:

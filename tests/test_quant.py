@@ -355,3 +355,76 @@ def test_int8_forward_finetune_grads_close_to_bf16(rng):
     assert cos > 0.95, cos
     # and it is genuinely a different forward (quantization engaged)
     assert abs(float(l8) - float(l16)) > 0
+
+
+def test_turbo_ffn_preset_quantizes_only_ffn():
+    """turbo_ffn (graded demotion step): FFN GEMMs int8, attention bf16."""
+    import dataclasses
+
+    from stutter_tpu.extract.pipeline import cast_params_for_preset
+    from stutter_tpu.models import (
+        WavLMConfig,
+        WhisperConfig,
+        init_wavlm_params,
+        init_whisper_params,
+    )
+
+    wl = cast_params_for_preset(
+        init_wavlm_params(jax.random.key(0), WavLMConfig.tiny(32, 2, 4)),
+        "turbo_ffn")
+    layers = wl["encoder"]["layers"]
+    for k in ("ff_w1", "ff_w2"):
+        assert isinstance(layers[k], dict) and layers[k]["q"].dtype == jnp.int8
+    for k in ("q_w", "k_w", "v_w", "o_w"):
+        assert not isinstance(layers[k], dict)
+        assert layers[k].dtype == jnp.bfloat16
+
+    wh = cast_params_for_preset(
+        init_whisper_params(jax.random.key(0), WhisperConfig.tiny()),
+        "turbo_ffn")
+    enc_layers = wh["encoder"]["layers"]
+    for k in ("fc1_w", "fc2_w"):
+        assert isinstance(enc_layers[k], dict)
+    for k in ("attn_q_w", "attn_k_w", "attn_v_w", "attn_o_w"):
+        assert not isinstance(enc_layers[k], dict)
+
+
+def test_turbo_ffn_forward_error_between_fast_and_turbo(rng):
+    """turbo_ffn error vs f32 must sit at-or-below turbo's (fewer quant
+    sites) and the pipeline must run it end to end."""
+    import jax
+
+    from stutter_tpu.extract.batcher import Batch
+    from stutter_tpu.extract.pipeline import WavLMExtractor
+    from stutter_tpu.models import WavLMConfig, init_wavlm_params
+
+    cfg = WavLMConfig.tiny(hidden_size=32, layers=2, heads=4)
+    params = init_wavlm_params(jax.random.key(0), cfg)
+    n = 3200
+    waves = (rng.randn(2, n) * 0.1).astype(np.float32)
+    batch = Batch(paths=["a", "b"], rows=[0, 1], waves=waves,
+                  lengths=np.full((2,), n, np.int64),
+                  ok=np.ones(2, bool), bucket_s=0.2)
+
+    outs = {}
+    for preset in ("fidelity", "fast", "turbo", "turbo_ffn"):
+        ex = WavLMExtractor(cfg, params, preset=preset)
+        outs[preset] = {k: np.asarray(v, np.float64)
+                        for k, v in ex(batch).items()}
+
+    def err(p):
+        worst = 0.0
+        for k, ref in outs["fidelity"].items():
+            got = outs[p][k]
+            for b in range(ref.shape[0]):
+                u, v = ref[b], got[b]
+                worst = max(worst, 1 - u @ v /
+                            (np.linalg.norm(u) * np.linalg.norm(v)))
+        return worst
+
+    e_fast, e_tf, e_turbo = err("fast"), err("turbo_ffn"), err("turbo")
+    assert np.isfinite(e_tf)
+    # graded: fast <= turbo_ffn <= ~turbo (tiny-model tolerances are loose;
+    # the ordering claim is the contract)
+    assert e_fast <= e_tf * 1.5 + 1e-6, (e_fast, e_tf)
+    assert e_tf <= e_turbo * 1.5 + 1e-6, (e_tf, e_turbo)
