@@ -83,16 +83,20 @@ def main() -> None:
         lengths = jax.device_put(np.full((b,), ns, np.int32))
         L = (ns - 400) // 320 + 1
 
+        # jax.jit traces LAZILY at the first call, and models/wavlm.py reads
+        # the block env at trace time — so each variant must be warmed (its
+        # first call made) while its env setting is ACTIVE. The first cut of
+        # this script popped the env before the warm-up calls and measured
+        # baseline vs baseline (caught by round-5 self-review: loop times
+        # identical to 0.1 ms, far inside tunnel noise).
         variants = {}
         os.environ.pop("STUTTER_TPU_LONG_ATTENTION_BLOCK", None)
         variants["baseline"] = make_fn(f"base_{bucket_s}")
+        float(variants["baseline"](params, waves, lengths))  # trace+compile now
         os.environ["STUTTER_TPU_LONG_ATTENTION_BLOCK"] = str(div_block)
         variants[f"div{div_block}"] = make_fn(f"div_{bucket_s}_{div_block}")
+        float(variants[f"div{div_block}"](params, waves, lengths))
         os.environ.pop("STUTTER_TPU_LONG_ATTENTION_BLOCK", None)
-
-        # warm/compile both before timing
-        for name, f in variants.items():
-            float(f(params, waves, lengths))
 
         times: dict[str, list] = {k: [] for k in variants}
         for _ in range(args.loops):  # interleaved: tunnel noise hits both
@@ -106,8 +110,8 @@ def main() -> None:
                 "audio_s_per_s": round(b * (ns / sr) / t, 1),
                 "loop_ms": [round(x * 1e3, 1) for x in ts],
             }
-        out["cases"][f"{bucket_s:g}s_L{L}"] = case
-        print(json.dumps({f"{bucket_s:g}s": case}), flush=True)
+        out["cases"][f"{bucket_s:g}s_L{L}_div{div_block}"] = case
+        print(json.dumps({f"{bucket_s:g}s_div{div_block}": case}), flush=True)
         del waves, lengths
 
     print(json.dumps(out))

@@ -158,7 +158,11 @@ def test_short_backward_block_is_vmem_safe():
     not the forward's 16 — its ~6 [BB, L, L] f32 temporaries overflow the
     16 MB scoped VMEM at BB=16/L=160 and the remote compile service crashes
     opaquely (round 4, DESIGN.md §10). Checks the exposed block-choice
-    helper so a refactor can't silently mirror the forward again."""
+    helper AND that the backward actually routes through it — checking the
+    helper alone would let a refactor hardcode BB=16 at the call site and
+    still pass (round-5 self-review)."""
+    import inspect
+
     from stutter_tpu.ops import wavlm_attention_vjp as m
 
     assert m.SHORT_BWD_BATCH_BLOCK <= 8
@@ -166,3 +170,5 @@ def test_short_backward_block_is_vmem_safe():
     assert m._short_bwd_batch_block(8) == m.SHORT_BWD_BATCH_BLOCK
     # non-divisible batches fall back to per-item tiling, never the forward's 16
     assert m._short_bwd_batch_block(6) == 1
+    # call-site pin: the backward must take its block from the helper
+    assert "_short_bwd_batch_block(" in inspect.getsource(m._attention_short_bwd)
