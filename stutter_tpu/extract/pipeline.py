@@ -60,11 +60,15 @@ PRESETS = {
     "turbo": dict(precision=jax.lax.Precision.DEFAULT, activation_dtype=jnp.bfloat16),
     # turbo_ffn: the graded demotion step between turbo and fast — int8 on
     # the FFN GEMMs ONLY (wavlm ff_w1/ff_w2, whisper fc1/fc2 = ~2/3 of the
-    # transformer GEMM FLOPs), attention projections stay bf16. For real
-    # checkpoints whose attention inputs carry int8-hostile outlier
-    # channels (the classic LN-output outliers), this keeps most of the
-    # int8 win at a third of the quantization sites; bench.py's demotion
-    # ladder tries it before falling all the way back to fast.
+    # transformer GEMM FLOPs), attention projections stay bf16; measured
+    # 3339 audio-s/s at the wavlm headline shape (fast 3050 / turbo 3544).
+    # Scope (tests/test_quant.py outlier test): it rescues checkpoints
+    # whose int8-hostile outlier channels sit in the q/k projection
+    # WEIGHTS (their outputs feed logits, not the residual); outliers that
+    # reach the residual stream (v/o/LN) inflate the per-token ACTIVATION
+    # scales that turbo_ffn still uses, so those checkpoints demote past
+    # it to fast — which bench.py's measured-fidelity ladder
+    # (turbo -> turbo_ffn -> fast) does automatically.
     "turbo_ffn": dict(precision=jax.lax.Precision.DEFAULT, activation_dtype=jnp.bfloat16),
 }
 
