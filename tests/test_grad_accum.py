@@ -147,3 +147,31 @@ def test_frozen_backbone_prunes_backbone_grads(rng):
     # and the open step's backbone grads are NOT all zero (the freeze is real)
     assert any(float(np.abs(np.asarray(l)).max()) > 0
                for l in jax.tree.leaves(g_o["backbone"]))
+
+
+def test_int8_forward_dp_mesh_matches_unsharded(rng):
+    """int8_forward (qdot_ste) under the DP mesh == unsharded, exactly.
+
+    qdot_ste is pure jnp (quantize/dot/dequant + custom VJP), so GSPMD
+    shards it like any dense op — this pins that the int8 training step
+    stays mesh-compatible (unlike the pallas attention kernels, which the
+    trainer auto-disables under a mesh)."""
+    import dataclasses
+
+    import jax
+
+    from stutter_tpu.parallel.mesh import make_mesh
+
+    cfg = dataclasses.replace(_cfg(), int8_forward=True)
+    cw = np.ones((3,), np.float32)
+    mb1, mb2 = _batch(rng, 4), _batch(rng, 4)
+
+    sharded = FinetuneTrainer(cfg, mesh=make_mesh(jax.devices()[:2], data=2),
+                              grad_accum=2)
+    local = FinetuneTrainer(cfg, grad_accum=2)
+
+    aux_s = sharded.step_accum([mb1, mb2], cw)
+    aux_l = local.step_accum([mb1, mb2], cw)
+    assert np.isfinite(aux_s["loss"])
+    np.testing.assert_allclose(aux_s["loss"], aux_l["loss"], atol=1e-5)
+    _tree_allclose(sharded.params, local.params, atol=5e-5)
