@@ -686,9 +686,38 @@ class ExtractionPipeline:
             if len(buf[0]) >= self.batcher.batch_size_for(bucket_s):
                 submit_bucket(bucket_s)
 
-        for row_idx in long_rows:
+        # Bounded-lookahead threaded decode: the normal path's batcher
+        # prefetches decode on host threads, but this loop used to call
+        # load_audio inline/sequentially — on the 1-core dev host that made
+        # the real chunk path decode-bound (measured 1058 audio-s/s on
+        # 400x30 s clips vs the ~2740 device-side estimate; the C++ decoder
+        # releases the GIL, so even one worker overlaps decode with device
+        # waits and host combine). Lookahead is bounded so at most ~5 long
+        # files' waveforms are resident at once.
+        import itertools
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        decode_pool = ThreadPoolExecutor(max_workers=2)
+        row_iter = iter(long_rows)
+        futs: deque = deque()
+
+        def _schedule(row_idx: int) -> None:
+            futs.append((row_idx, decode_pool.submit(
+                load_audio, todo.iloc[row_idx]["path"], target_sr=sr)))
+
+        for row_idx in itertools.islice(row_iter, 4):
+            _schedule(row_idx)
+        while futs:
+            row_idx, fut = futs.popleft()
+            nxt = next(row_iter, None)
+            if nxt is not None:
+                _schedule(nxt)
             path = todo.iloc[row_idx]["path"]
-            wave = load_audio(path, target_sr=sr)
+            try:
+                wave = fut.result()
+            except Exception:  # noqa: BLE001 — match load_audio's None contract
+                wave = None
             if wave is None:
                 logger.error("skipping %s (decode failed)", path)
                 continue
@@ -707,6 +736,7 @@ class ExtractionPipeline:
                      if len(seg) <= self.batcher.bucket_samples(b)),
                     self.batcher.buckets_s[-1])
                 push(bucket, seg, row_idx)
+        decode_pool.shutdown()
 
         for bucket_s in list(pend):
             submit_bucket(bucket_s)
