@@ -12,6 +12,14 @@ exactly the matmuls the roofline pins:
   AV:   a in [0, 1] -> fixed scale 127 (round only); v per-COLUMN int8
         (absmax over L); out = (aq @ vq) * (1/127) * sv[None, :]
 
+RESULT (kept, negative — artifacts/attn_int8_probe_r5.json): SLOWER than
+the bf16 kernel (0.78-0.84x) — the kernel is VPU-bound on the softmax
+chain, so trading MXU time for MORE VPU quantization work goes backwards.
+The large measured cosine (~0.3-0.4) is additionally a known flaw of the
+fixed-127 AV scale on DIFFUSE attention rows (mean prob ~1/L rounds to 0);
+a per-row rowmax scale fixes the numerics but adds yet another [BQ, L]
+reduction, moving speed further in the wrong direction — not pursued.
+
 Probes, per (L, shape) case on the real TPU:
   1. compile + run (the remote service 500s opaquely on VMEM overflows —
      memory discipline: probe before wiring anything into source)

@@ -165,7 +165,9 @@ def test_finetune_cli_grad_accum(corpus, tmp_path, monkeypatch):
     (numerics pinned by tests/test_grad_accum.py; this covers the CLI's
     shape-grouping + tail-padding plumbing). --devices 1: the accum loop is
     device-count-independent and single-device avoids the CPU-host collective
-    rendezvous cost documented on test_finetune_cli."""
+    rendezvous cost documented on test_finetune_cli. --int8_forward rides
+    along so the r5 flag is exercised through the CLI surface (step
+    numerics pinned by tests/test_quant.py + tests/test_grad_accum.py)."""
     from stutter_tpu.models import WavLMConfig
 
     monkeypatch.setattr(
@@ -179,6 +181,7 @@ def test_finetune_cli_grad_accum(corpus, tmp_path, monkeypatch):
         "--model_name", "microsoft/wavlm-base", "--random_init",
         "--epochs", "1", "--batch_size", "4", "--max_length", "1.0",
         "--devices", "1", "--grad_accum", "2", "--no_remat",
+        "--int8_forward",
     ])
     assert rc == 0
     assert os.path.exists(os.path.join(results, "finetune_results.json"))
