@@ -686,14 +686,18 @@ class ExtractionPipeline:
             if len(buf[0]) >= self.batcher.batch_size_for(bucket_s):
                 submit_bucket(bucket_s)
 
-        # Bounded-lookahead threaded decode: the normal path's batcher
-        # prefetches decode on host threads, but this loop used to call
-        # load_audio inline/sequentially — on the 1-core dev host that made
-        # the real chunk path decode-bound (measured 1058 audio-s/s on
-        # 400x30 s clips vs the ~2740 device-side estimate; the C++ decoder
-        # releases the GIL, so even one worker overlaps decode with device
-        # waits and host combine). Lookahead is bounded so at most ~5 long
-        # files' waveforms are resident at once.
+        # Bounded-lookahead threaded decode, matching the normal path's
+        # prefetch design (the loop used to call load_audio inline). On
+        # THIS dev host it measures neutral — the real chunk path is
+        # host->device TRANSFER-bound through the tunnel relay, not decode-
+        # bound (artifacts/chunk_real_path_r5.json: inline 1058 vs threaded
+        # 1028 audio-s/s on 400x30 s WAVs; ~384 MB of int16 waveforms over
+        # a ~30-60 MB/s relay is most of the wall). Kept because on real
+        # hosts with compressed corpora (mp3/flac via ffdecode) decode is
+        # the expensive host stage and the C++ decoder releases the GIL, so
+        # lookahead overlaps it with device waits — that benefit is a
+        # design expectation, not yet measured. Lookahead is bounded so at
+        # most ~5 long files' waveforms are resident at once.
         import itertools
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
@@ -706,37 +710,43 @@ class ExtractionPipeline:
             futs.append((row_idx, decode_pool.submit(
                 load_audio, todo.iloc[row_idx]["path"], target_sr=sr)))
 
-        for row_idx in itertools.islice(row_iter, 4):
-            _schedule(row_idx)
-        while futs:
-            row_idx, fut = futs.popleft()
-            nxt = next(row_iter, None)
-            if nxt is not None:
-                _schedule(nxt)
-            path = todo.iloc[row_idx]["path"]
-            try:
-                wave = fut.result()
-            except Exception:  # noqa: BLE001 — match load_audio's None contract
-                wave = None
-            if wave is None:
-                logger.error("skipping %s (decode failed)", path)
-                continue
-            n_chunks = max(1, -(-len(wave) // top_samples))
-            acc[row_idx] = {"path": path, "sums": {}, "wsum": 0.0,
-                            "remaining": n_chunks, "n_chunks": n_chunks,
-                            "audio_s": float(len(wave)) / sr}
-            for c in range(n_chunks):
-                seg = wave[c * top_samples:(c + 1) * top_samples]
-                # pick the tail bucket by SAMPLE coverage, not nominal
-                # seconds: frame-aligned bucket_samples sit up to stride-1
-                # samples under bucket_s*sr, and choosing by seconds could
-                # trim the tail by that sliver vs the single-file combiner
-                bucket = next(
-                    (b for b in self.batcher.buckets_s
-                     if len(seg) <= self.batcher.bucket_samples(b)),
-                    self.batcher.buckets_s[-1])
-                push(bucket, seg, row_idx)
-        decode_pool.shutdown()
+        try:
+            for row_idx in itertools.islice(row_iter, 4):
+                _schedule(row_idx)
+            while futs:
+                row_idx, fut = futs.popleft()
+                nxt = next(row_iter, None)
+                if nxt is not None:
+                    _schedule(nxt)
+                path = todo.iloc[row_idx]["path"]
+                try:
+                    wave = fut.result()
+                except Exception:  # noqa: BLE001 — match load_audio's None contract
+                    wave = None
+                if wave is None:
+                    logger.error("skipping %s (decode failed)", path)
+                    continue
+                n_chunks = max(1, -(-len(wave) // top_samples))
+                acc[row_idx] = {"path": path, "sums": {}, "wsum": 0.0,
+                                "remaining": n_chunks, "n_chunks": n_chunks,
+                                "audio_s": float(len(wave)) / sr}
+                for c in range(n_chunks):
+                    seg = wave[c * top_samples:(c + 1) * top_samples]
+                    # pick the tail bucket by SAMPLE coverage, not nominal
+                    # seconds: frame-aligned bucket_samples sit up to
+                    # stride-1 samples under bucket_s*sr, and choosing by
+                    # seconds could trim the tail by that sliver vs the
+                    # single-file combiner
+                    bucket = next(
+                        (b for b in self.batcher.buckets_s
+                         if len(seg) <= self.batcher.bucket_samples(b)),
+                        self.batcher.buckets_s[-1])
+                    push(bucket, seg, row_idx)
+        finally:
+            # a mid-loop failure (remote compile 500, tunnel drop) must not
+            # leak the pool: non-daemon workers would otherwise keep
+            # decoding and block interpreter exit on a stalled read
+            decode_pool.shutdown(wait=False, cancel_futures=True)
 
         for bucket_s in list(pend):
             submit_bucket(bucket_s)

@@ -80,16 +80,22 @@ def test_grad_accum_short_group_pads_as_noop(rng):
     _tree_allclose(padded.params, exact.params, atol=5e-5)
 
 
-def test_grad_accum_dp_mesh_matches_unsharded(rng):
+@pytest.mark.parametrize("int8", [False, True], ids=["bf16", "int8_forward"])
+def test_grad_accum_dp_mesh_matches_unsharded(rng, int8):
     """[K, B] stacks DP-sharded on axis 1 == the unsharded accumulation.
 
     dp=2 keeps the collective at 2 participants with a tiny per-device
-    program (the XLA:CPU rendezvous spin-wait constraint — CLAUDE.md)."""
+    program (the XLA:CPU rendezvous spin-wait constraint — CLAUDE.md).
+    int8_forward rides the same check: qdot_ste is pure jnp
+    (quantize/dot/dequant + custom VJP), so GSPMD shards it like any dense
+    op — this pins that the int8 training step stays mesh-compatible
+    (unlike the pallas attention kernels, which the trainer auto-disables
+    under a mesh)."""
     import jax
 
     from stutter_tpu.parallel.mesh import make_mesh
 
-    cfg = _cfg()
+    cfg = dataclasses.replace(_cfg(), int8_forward=int8)
     cw = np.ones((3,), np.float32)
     mb1, mb2 = _batch(rng, 4), _batch(rng, 4)
 
@@ -99,6 +105,7 @@ def test_grad_accum_dp_mesh_matches_unsharded(rng):
 
     aux_s = sharded.step_accum([mb1, mb2], cw)
     aux_l = local.step_accum([mb1, mb2], cw)
+    assert np.isfinite(aux_s["loss"])
     np.testing.assert_allclose(aux_s["loss"], aux_l["loss"], atol=1e-5)
     _tree_allclose(sharded.params, local.params, atol=5e-5)
 
@@ -149,29 +156,3 @@ def test_frozen_backbone_prunes_backbone_grads(rng):
                for l in jax.tree.leaves(g_o["backbone"]))
 
 
-def test_int8_forward_dp_mesh_matches_unsharded(rng):
-    """int8_forward (qdot_ste) under the DP mesh == unsharded, exactly.
-
-    qdot_ste is pure jnp (quantize/dot/dequant + custom VJP), so GSPMD
-    shards it like any dense op — this pins that the int8 training step
-    stays mesh-compatible (unlike the pallas attention kernels, which the
-    trainer auto-disables under a mesh)."""
-    import dataclasses
-
-    import jax
-
-    from stutter_tpu.parallel.mesh import make_mesh
-
-    cfg = dataclasses.replace(_cfg(), int8_forward=True)
-    cw = np.ones((3,), np.float32)
-    mb1, mb2 = _batch(rng, 4), _batch(rng, 4)
-
-    sharded = FinetuneTrainer(cfg, mesh=make_mesh(jax.devices()[:2], data=2),
-                              grad_accum=2)
-    local = FinetuneTrainer(cfg, grad_accum=2)
-
-    aux_s = sharded.step_accum([mb1, mb2], cw)
-    aux_l = local.step_accum([mb1, mb2], cw)
-    assert np.isfinite(aux_s["loss"])
-    np.testing.assert_allclose(aux_s["loss"], aux_l["loss"], atol=1e-5)
-    _tree_allclose(sharded.params, local.params, atol=5e-5)

@@ -389,23 +389,21 @@ def test_turbo_ffn_preset_quantizes_only_ffn():
         assert not isinstance(enc_layers[k], dict)
 
 
-def test_turbo_ffn_forward_error_between_fast_and_turbo(rng):
-    """turbo_ffn error vs f32 must sit at-or-below turbo's (fewer quant
-    sites) and the pipeline must run it end to end."""
+def _preset_worst_errors(cfg, params, rng) -> dict:
+    """Run a 2-clip batch through every preset; worst cosine vs fidelity.
+
+    Shared by the graded-preset ordering test and the outlier-injection
+    test so the fidelity-measurement convention lives in one place."""
     import jax
 
     from stutter_tpu.extract.batcher import Batch
     from stutter_tpu.extract.pipeline import WavLMExtractor
-    from stutter_tpu.models import WavLMConfig, init_wavlm_params
 
-    cfg = WavLMConfig.tiny(hidden_size=32, layers=2, heads=4)
-    params = init_wavlm_params(jax.random.key(0), cfg)
     n = 3200
     waves = (rng.randn(2, n) * 0.1).astype(np.float32)
     batch = Batch(paths=["a", "b"], rows=[0, 1], waves=waves,
                   lengths=np.full((2,), n, np.int64),
                   ok=np.ones(2, bool), bucket_s=0.2)
-
     outs = {}
     for preset in ("fidelity", "fast", "turbo", "turbo_ffn"):
         ex = WavLMExtractor(cfg, params, preset=preset)
@@ -422,7 +420,20 @@ def test_turbo_ffn_forward_error_between_fast_and_turbo(rng):
                             (np.linalg.norm(u) * np.linalg.norm(v)))
         return worst
 
-    e_fast, e_tf, e_turbo = err("fast"), err("turbo_ffn"), err("turbo")
+    return {p: err(p) for p in ("fast", "turbo", "turbo_ffn")}
+
+
+def test_turbo_ffn_forward_error_between_fast_and_turbo(rng):
+    """turbo_ffn error vs f32 must sit at-or-below turbo's (fewer quant
+    sites) and the pipeline must run it end to end."""
+    import jax
+
+    from stutter_tpu.models import WavLMConfig, init_wavlm_params
+
+    cfg = WavLMConfig.tiny(hidden_size=32, layers=2, heads=4)
+    params = init_wavlm_params(jax.random.key(0), cfg)
+    errs = _preset_worst_errors(cfg, params, rng)
+    e_fast, e_tf, e_turbo = errs["fast"], errs["turbo_ffn"], errs["turbo"]
     assert np.isfinite(e_tf)
     # graded: fast <= turbo_ffn <= ~turbo (tiny-model tolerances are loose;
     # the ordering claim is the contract)
@@ -452,8 +463,6 @@ def test_demotion_ladder_under_outlier_channels(rng):
     """
     import jax
 
-    from stutter_tpu.extract.batcher import Batch
-    from stutter_tpu.extract.pipeline import WavLMExtractor
     from stutter_tpu.models import WavLMConfig, init_wavlm_params
 
     cfg = WavLMConfig.tiny(hidden_size=32, layers=2, heads=4)
@@ -465,36 +474,15 @@ def test_demotion_ladder_under_outlier_channels(rng):
     # resolution); FFN weights stay as initialized, and v_w is left alone
     # deliberately (see docstring scope note)
     layers = dict(params["encoder"]["layers"])
-    out_idx = np.array([1, 7, 19])
+    in_idx = np.array([1, 7, 19])
     for k in ("q_w", "k_w"):
         w = np.array(layers[k])  # [N, D, D] (copy — jax buffers are read-only)
-        w[:, out_idx, :] *= 80.0
+        w[:, in_idx, :] *= 80.0
         layers[k] = jax.numpy.asarray(w)
     params = {**params, "encoder": {**params["encoder"], "layers": layers}}
 
-    n = 3200
-    waves = (rng.randn(2, n) * 0.1).astype(np.float32)
-    batch = Batch(paths=["a", "b"], rows=[0, 1], waves=waves,
-                  lengths=np.full((2,), n, np.int64),
-                  ok=np.ones(2, bool), bucket_s=0.2)
-
-    outs = {}
-    for preset in ("fidelity", "fast", "turbo", "turbo_ffn"):
-        ex = WavLMExtractor(cfg, params, preset=preset)
-        outs[preset] = {k: np.asarray(v, np.float64)
-                        for k, v in ex(batch).items()}
-
-    def err(p):
-        worst = 0.0
-        for k, ref in outs["fidelity"].items():
-            got = outs[p][k]
-            for b in range(ref.shape[0]):
-                u, v = ref[b], got[b]
-                worst = max(worst, 1 - u @ v /
-                            (np.linalg.norm(u) * np.linalg.norm(v)))
-        return worst
-
-    e_fast, e_tf, e_turbo = err("fast"), err("turbo_ffn"), err("turbo")
+    errs = _preset_worst_errors(cfg, params, rng)
+    e_fast, e_tf, e_turbo = errs["fast"], errs["turbo_ffn"], errs["turbo"]
     # the ladder's premise: attention-site quantization is what the
     # outliers break; FFN-only int8 must stay an order closer to fast
     assert e_turbo > 3 * e_tf, (e_turbo, e_tf)
